@@ -1,0 +1,183 @@
+"""Attention for the restoration UNet, including shared-image attention.
+
+The reference implements personalization with stateful "attention processors"
+mutated onto diffusers modules (/root/reference/face_replace/models/
+attn_processors.py): a capture processor stashes K/V on ``self`` during the
+frozen-UNet pass (:22-97), and ``SharedAttnProcessor`` (:183-279) widens the
+up-block self-attentions with those K/V (optionally AdaIN-modulated, :242-246)
+passed through ``cross_attention_kwargs``.
+
+Here that is pure data flow:
+
+* K/V capture is a return value: ``attention(..., capture_kv=True)`` returns
+  the raw ``to_k``/``to_v`` projections alongside the output.
+* Shared attention takes ``ref_kv=(ref_k, ref_v)`` of shape [B, N, S, inner]
+  and computes softmax attention over the widened K/V, exactly matching the
+  reference semantics: invalid references are ZEROED K/V rows (not -inf
+  masked; pix2pix_turbo.py:269-273), so they still receive uniform attention
+  mass — this is load-bearing for the per-reference attention-mass statistics
+  the gradio demo reports.
+* AdaIN of reference values onto the input-value statistics uses UNBIASED
+  std (torch.std default) with the reference's +1e-5 epsilon
+  (attn_processors.py:7-18,242-246).
+
+Layout is [B, heads, S, head_dim]; softmax accumulates in float32. The fused
+Pallas wide-KV kernel (ops/shared_attention.py) is used on TPU when no
+attention probabilities need to be materialized; this module is the XLA
+reference path and the training path (landmark-attention loss needs probs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instantrestore_tpu.ops.primitives import dense
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """[B, S, h*d] -> [B, h, S, d]"""
+    b, s, inner = x.shape
+    return x.reshape(b, s, heads, inner // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, h, S, d] -> [B, S, h*d]"""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def adain_stats(v: jnp.ndarray, axis: int, eps: float = 1e-5):
+    """Mean and UNBIASED std over ``axis`` (keepdims), fp32 accumulation.
+
+    Matches torch ``.mean(dim=1)`` / ``.std(dim=1)`` in adain()
+    (attn_processors.py:7-18): std uses ddof=1 and the reference adds eps to
+    the std (not the variance).
+    """
+    vf = v.astype(jnp.float32)
+    mean = vf.mean(axis=axis, keepdims=True)
+    var = vf.var(axis=axis, ddof=1, keepdims=True)
+    std = jnp.sqrt(var) + eps
+    return mean, std
+
+
+def widen_kv(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ref_k: jnp.ndarray,
+    ref_v: jnp.ndarray,
+    heads: int,
+    *,
+    use_adain: bool = False,
+    train_input: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate per-head reference K/V onto the input K/V.
+
+    k, v:          [B, h, S, d]   (input-image keys/values, post head split)
+    ref_k, ref_v:  [B, N, S, h*d] (raw captured projections per reference)
+
+    Returns widened (K, V) of shape [B, h, S + N*S, d] (or [B, h, N*S, d]
+    when ``train_input`` is False — the shipped configs' refs-only mode,
+    attn_processors.py:250-252 + config_files/train_base.yaml train_input).
+    Reference order matches the reference code: input block first, then
+    references in order.
+    """
+    b, n, s, inner = ref_k.shape
+    d = inner // heads
+    # [B, N, S, h, d] -> [B, h, N, S, d] -> [B, h, N*S, d]
+    rk = ref_k.reshape(b, n, s, heads, d).transpose(0, 3, 1, 2, 4)
+    rv = ref_v.reshape(b, n, s, heads, d).transpose(0, 3, 1, 2, 4)
+
+    if use_adain:
+        # Style statistics come from the INPUT image values over the sequence
+        # axis, per (batch, head, channel); content statistics per reference.
+        style_mean, style_std = adain_stats(v, axis=2)  # [B, h, 1, d]
+        content_mean, content_std = adain_stats(rv, axis=3)  # [B, h, N, 1, d]
+        rvf = rv.astype(jnp.float32)
+        rvf = (rvf - content_mean) / content_std
+        rvf = rvf * style_std[:, :, None] + style_mean[:, :, None]
+        rv = rvf.astype(v.dtype)
+
+    rk = rk.reshape(b, heads, n * s, d).astype(k.dtype)
+    rv = rv.reshape(b, heads, n * s, d).astype(v.dtype)
+
+    if train_input:
+        wide_k = jnp.concatenate([k, rk], axis=2)
+        wide_v = jnp.concatenate([v, rv], axis=2)
+    else:
+        wide_k, wide_v = rk, rv
+    return wide_k, wide_v
+
+
+def attention(
+    p: dict,
+    hidden: jnp.ndarray,
+    *,
+    heads: int,
+    encoder_hidden: Optional[jnp.ndarray] = None,
+    ref_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    use_adain: bool = False,
+    train_input: bool = True,
+    capture_kv: bool = False,
+    save_probs: bool = False,
+    lora_scaling: float = 1.0,
+    use_fused: bool = False,
+):
+    """Multi-head attention with optional shared-image KV widening.
+
+    Args:
+      p: param dict with to_q/to_k/to_v (no bias) and to_out (bias), mirroring
+         diffusers ``Attention`` (attn_processors.py:61-71,84-87).
+      hidden: [B, S, C] token-major hidden states.
+      encoder_hidden: context for cross-attention ([B, Sc, Dc]) or None for
+         self-attention.
+      ref_kv: optional (ref_k, ref_v) [B, N, S, inner] for shared attention
+         (only meaningful for self-attention in up blocks).
+      capture_kv: return the raw K/V projections (frozen-UNet capture pass).
+      save_probs: additionally return fp32 attention probabilities
+         [B, h, Sq, Skv] (training losses / demo attention-mass stats).
+
+    Returns: (out [B, S, C], aux dict with optional 'kv' and 'probs').
+    """
+    aux = {}
+    ctx = hidden if encoder_hidden is None else encoder_hidden
+
+    q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
+    k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
+    v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
+
+    if capture_kv:
+        aux["kv"] = (k_raw, v_raw)
+
+    q = _split_heads(q, heads)
+    k = _split_heads(k_raw, heads)
+    v = _split_heads(v_raw, heads)
+
+    if ref_kv is not None:
+        k, v = widen_kv(
+            k, v, ref_kv[0], ref_kv[1], heads, use_adain=use_adain, train_input=train_input
+        )
+
+    d = q.shape[-1]
+    scale = d ** -0.5
+
+    if use_fused and not save_probs:
+        from instantrestore_tpu.ops.shared_attention import fused_attention
+
+        out = fused_attention(q, k, v, scale=scale)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        if save_probs:
+            aux["probs"] = probs
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(hidden.dtype)
+
+    out = _merge_heads(out)
+    out = dense(p["to_out"], out, lora_scaling=lora_scaling)
+    return out, aux

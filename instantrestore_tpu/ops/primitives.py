@@ -1,0 +1,235 @@
+"""TPU-first NN primitives: NHWC convs, dense, norms, activations, LoRA.
+
+Design notes
+------------
+* Everything is a pure function over a parameter dict. Parameter trees mirror
+  the diffusers state-dict structure so the torch->JAX checkpoint converter
+  (utils/torch_convert.py) is a near-identity mapping — but layouts are
+  TPU-native: NHWC activations, HWIO conv kernels, [in, out] dense kernels.
+* Matmuls/convs run in the compute dtype (bfloat16 by default at inference);
+  normalization statistics and softmax always accumulate in float32.
+* LoRA is data, not module surgery: a layer's param dict may carry
+  ``lora_A``/``lora_B`` factors (peft semantics,
+  /root/reference/face_replace/models/pix2pix_turbo.py:171-188). The delta is
+  applied as ``scaling * B(A(x))`` where ``scaling`` is a static float passed
+  by the caller (peft: lora_alpha / r). Keeping the factors separate (rather
+  than merging) preserves trainability and lets one base-parameter tree serve
+  both the LoRA-restoration UNet and the frozen K/V-capture UNet.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# dense / conv with optional LoRA
+# ---------------------------------------------------------------------------
+
+
+def dense(p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0) -> jnp.ndarray:
+    """y = x @ kernel + bias, with optional factored LoRA delta.
+
+    kernel: [in, out]; lora_A: [in, r]; lora_B: [r, out].
+    """
+    dtype = x.dtype
+    y = x @ p["kernel"].astype(dtype)
+    if "lora_A" in p:
+        y = y + (x @ p["lora_A"].astype(dtype) @ p["lora_B"].astype(dtype)) * jnp.asarray(
+            lora_scaling, dtype
+        )
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def conv2d(
+    p: dict,
+    x: jnp.ndarray,
+    *,
+    stride: int = 1,
+    padding: int = 1,
+    lora_scaling: float = 1.0,
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel and optional conv-LoRA.
+
+    peft Conv2d LoRA (used for conv/conv1/conv2/conv_shortcut/... targets,
+    pix2pix_turbo.py:151-156,171-174): lora_A is a conv with the SAME spatial
+    kernel/stride/padding mapping in->r channels; lora_B is a 1x1 conv r->out.
+    """
+    dtype = x.dtype
+    dn = ("NHWC", "HWIO", "NHWC")
+    pad = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=dn,
+    )
+    if "lora_A" in p:
+        a = jax.lax.conv_general_dilated(
+            x,
+            p["lora_A"].astype(dtype),
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=dn,
+        )
+        b = jax.lax.conv_general_dilated(
+            a,
+            p["lora_B"].astype(dtype),
+            window_strides=(1, 1),
+            padding=[(0, 0), (0, 0)],
+            dimension_numbers=dn,
+        )
+        y = y + b * jnp.asarray(lora_scaling, dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# normalization (always fp32 statistics)
+# ---------------------------------------------------------------------------
+
+
+def group_norm(p: dict, x: jnp.ndarray, *, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over NHWC (or [..., C]) input; stats in fp32."""
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    g = num_groups
+    xf = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (g, c // g)
+    xg = xf.reshape(x.shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(x.shape)
+    del shape
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p: dict, x: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # diffusers GEGLU uses exact (erf) gelu, matching torch F.gelu default.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def geglu(p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0) -> jnp.ndarray:
+    """diffusers GEGLU: project to 2*d_ff, gate with exact gelu."""
+    h = dense(p, x, lora_scaling=lora_scaling)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return h * gelu(gate)
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding (diffusers get_timestep_embedding semantics)
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [B] -> [B, dim], fp32.
+
+    Mirrors diffusers.models.embeddings.get_timestep_embedding as invoked by
+    the SD-Turbo UNet (flip_sin_to_cos=True, freq_shift=0).
+    """
+    half = dim // 2
+    # static table, computed in float64 host-side for accuracy
+    freqs = jnp.asarray(
+        np.exp(
+            -np.log(max_period) * np.arange(half) / (half - downscale_freq_shift)
+        ).astype(np.float32)
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    # Explicit range reduction: XLA's sin/cos lose precision for args >> 2*pi
+    # (timestep 999 * freq 1.0); reduce mod 2*pi first.
+    two_pi = 2.0 * math.pi
+    args = args - two_pi * jnp.floor(args / two_pi)
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# parameter initializers (random init for tests / from-scratch training;
+# real weights come from the checkpoint converter)
+# ---------------------------------------------------------------------------
+
+
+def init_dense(key, in_dim: int, out_dim: int, *, bias: bool = True, dtype=jnp.float32) -> dict:
+    k1, _ = jax.random.split(key)
+    scale = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": jax.random.uniform(k1, (in_dim, out_dim), dtype, -scale, scale)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_conv2d(
+    key, in_ch: int, out_ch: int, kernel_size: int = 3, *, bias: bool = True, dtype=jnp.float32
+) -> dict:
+    k1, _ = jax.random.split(key)
+    fan_in = in_ch * kernel_size * kernel_size
+    scale = 1.0 / math.sqrt(fan_in)
+    p = {
+        "kernel": jax.random.uniform(
+            k1, (kernel_size, kernel_size, in_ch, out_ch), dtype, -scale, scale
+        )
+    }
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def init_norm(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def add_lora_dense(p: dict, key, rank: int, *, init_std: Optional[float] = None) -> dict:
+    """Attach peft-style gaussian-init LoRA factors to a dense param dict."""
+    in_dim, out_dim = p["kernel"].shape
+    std = init_std if init_std is not None else 1.0 / rank
+    p = dict(p)
+    p["lora_A"] = jax.random.normal(key, (in_dim, rank), jnp.float32) * std
+    p["lora_B"] = jnp.zeros((rank, out_dim), jnp.float32)
+    return p
+
+
+def add_lora_conv(p: dict, key, rank: int, *, init_std: Optional[float] = None) -> dict:
+    kh, kw, in_ch, out_ch = p["kernel"].shape
+    std = init_std if init_std is not None else 1.0 / rank
+    p = dict(p)
+    p["lora_A"] = jax.random.normal(key, (kh, kw, in_ch, rank), jnp.float32) * std
+    p["lora_B"] = jnp.zeros((1, 1, rank, out_ch), jnp.float32)
+    return p

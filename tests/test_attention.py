@@ -1,0 +1,167 @@
+"""Shared-image attention semantics vs. an independent torch replica.
+
+The torch replica below re-derives the reference math (attn_processors.py:
+183-279) directly from its spec: per-head reshape of each reference's K/V,
+optional AdaIN of ref values onto input-value statistics (unbiased std,
+eps added to std), concat along the KV sequence, fp32 softmax.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from instantrestore_tpu.models.attention import attention, widen_kv, _split_heads
+
+
+def _torch_shared_attention(x, ctx, wq, wk, wv, wo, bo, heads, ref_k, ref_v,
+                            use_adain, train_input):
+    """x: [B,S,C]; ref_k/ref_v: [B,N,S,C] raw projections; torch fp32."""
+    b, s, c = x.shape
+    d = c // heads
+
+    def to_heads(t):  # [B,S,C] -> [B*h, S, d]
+        return t.reshape(b, -1, heads, d).permute(0, 2, 1, 3).reshape(b * heads, -1, d)
+
+    q = to_heads(x @ wq)
+    k = to_heads(ctx @ wk)
+    v = to_heads(ctx @ wv)
+
+    n = ref_k.shape[1]
+    rks = [to_heads(ref_k[:, i]) for i in range(n)]
+    rvs = [to_heads(ref_v[:, i]) for i in range(n)]
+    if use_adain:
+        style_mean = v.mean(dim=1, keepdim=True)
+        style_std = v.std(dim=1, keepdim=True) + 1e-5
+        out_rvs = []
+        for rv in rvs:
+            cm = rv.mean(dim=1, keepdim=True)
+            cs = rv.std(dim=1, keepdim=True) + 1e-5
+            out_rvs.append((rv - cm) / cs * style_std + style_mean)
+        rvs = out_rvs
+    if train_input:
+        wide_k = torch.cat([k] + rks, dim=1)
+        wide_v = torch.cat([v] + rvs, dim=1)
+    else:
+        wide_k = torch.cat(rks, dim=1)
+        wide_v = torch.cat(rvs, dim=1)
+
+    probs = torch.softmax(q @ wide_k.transpose(1, 2) * d ** -0.5, dim=-1)
+    o = probs @ wide_v
+    o = o.reshape(b, heads, s, d).permute(0, 2, 1, 3).reshape(b, s, c)
+    return o @ wo + bo, probs.reshape(b, heads, s, -1)
+
+
+def _mk(rng, *shape):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def _params(rng, c):
+    return {
+        "to_q": {"kernel": jnp.asarray(_mk(rng, c, c))},
+        "to_k": {"kernel": jnp.asarray(_mk(rng, c, c))},
+        "to_v": {"kernel": jnp.asarray(_mk(rng, c, c))},
+        "to_out": {"kernel": jnp.asarray(_mk(rng, c, c)), "bias": jnp.asarray(_mk(rng, c))},
+    }
+
+
+def test_shared_attention_matches_torch_replica(rng):
+    b, s, c, heads, n = 2, 16, 8, 2, 3
+    p = _params(rng, c)
+    x = _mk(rng, b, s, c)
+    ref_k = _mk(rng, b, n, s, c)
+    ref_v = _mk(rng, b, n, s, c)
+
+    for use_adain in [False, True]:
+        for train_input in [True, False]:
+            out, aux = attention(
+                p,
+                jnp.asarray(x),
+                heads=heads,
+                ref_kv=(jnp.asarray(ref_k), jnp.asarray(ref_v)),
+                use_adain=use_adain,
+                train_input=train_input,
+                save_probs=True,
+            )
+            ref_out, ref_probs = _torch_shared_attention(
+                torch.from_numpy(x),
+                torch.from_numpy(x),
+                torch.from_numpy(np.asarray(p["to_q"]["kernel"])),
+                torch.from_numpy(np.asarray(p["to_k"]["kernel"])),
+                torch.from_numpy(np.asarray(p["to_v"]["kernel"])),
+                torch.from_numpy(np.asarray(p["to_out"]["kernel"])),
+                torch.from_numpy(np.asarray(p["to_out"]["bias"])),
+                heads,
+                torch.from_numpy(ref_k),
+                torch.from_numpy(ref_v),
+                use_adain,
+                train_input,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), ref_out.numpy(), atol=2e-4,
+                err_msg=f"adain={use_adain} train_input={train_input}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(aux["probs"]), ref_probs.numpy(), atol=2e-5
+            )
+
+
+def test_plain_self_attention_matches_torch(rng):
+    b, s, c, heads = 2, 8, 8, 2
+    p = _params(rng, c)
+    x = _mk(rng, b, s, c)
+    out, _ = attention(p, jnp.asarray(x), heads=heads)
+    d = c // heads
+    xt = torch.from_numpy(x)
+    q = (xt @ torch.from_numpy(np.asarray(p["to_q"]["kernel"]))).reshape(b, s, heads, d).permute(0, 2, 1, 3)
+    k = (xt @ torch.from_numpy(np.asarray(p["to_k"]["kernel"]))).reshape(b, s, heads, d).permute(0, 2, 1, 3)
+    v = (xt @ torch.from_numpy(np.asarray(p["to_v"]["kernel"]))).reshape(b, s, heads, d).permute(0, 2, 1, 3)
+    o = torch.softmax(q @ k.transpose(-1, -2) * d ** -0.5, dim=-1) @ v
+    o = o.permute(0, 2, 1, 3).reshape(b, s, c)
+    ref = o @ torch.from_numpy(np.asarray(p["to_out"]["kernel"])) + torch.from_numpy(
+        np.asarray(p["to_out"]["bias"])
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4)
+
+
+def test_capture_kv_returns_raw_projections(rng):
+    b, s, c = 1, 4, 8
+    p = _params(rng, c)
+    x = _mk(rng, b, s, c)
+    out, aux = attention(p, jnp.asarray(x), heads=2, capture_kv=True)
+    k, v = aux["kv"]
+    np.testing.assert_allclose(np.asarray(k), x @ np.asarray(p["to_k"]["kernel"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), x @ np.asarray(p["to_v"]["kernel"]), atol=1e-5)
+
+
+def test_zeroed_refs_receive_uniform_mass_not_none(rng):
+    """Reference zeroes invalid K/V (pix2pix_turbo.py:269-273) instead of
+    masking; zero keys get logit 0 => nonzero softmax mass. Load-bearing for
+    the demo's per-reference attention statistics."""
+    b, s, c, heads = 1, 4, 8, 2
+    p = _params(rng, c)
+    x = _mk(rng, b, s, c)
+    ref_k = np.zeros((b, 1, s, c), np.float32)
+    ref_v = np.zeros((b, 1, s, c), np.float32)
+    _, aux = attention(
+        p, jnp.asarray(x), heads=heads, ref_kv=(jnp.asarray(ref_k), jnp.asarray(ref_v)),
+        save_probs=True,
+    )
+    probs = np.asarray(aux["probs"])  # [B, h, S, 2S]
+    assert probs.shape[-1] == 2 * s
+    assert probs[..., s:].sum() > 0.0  # zeroed block still attended
+
+
+def test_widen_kv_ordering(rng):
+    """Input block first, then references in order (attn_processors.py:248)."""
+    b, s, c, heads, n = 1, 2, 4, 1, 2
+    k = jnp.asarray(_mk(rng, b, s, c))
+    v = jnp.asarray(_mk(rng, b, s, c))
+    ref_k = jnp.asarray(_mk(rng, b, n, s, c))
+    ref_v = jnp.asarray(_mk(rng, b, n, s, c))
+    kh = _split_heads(k, heads)
+    vh = _split_heads(v, heads)
+    wk, wv = widen_kv(kh, vh, ref_k, ref_v, heads)
+    wk = np.asarray(wk)[0, 0]
+    np.testing.assert_allclose(wk[:s], np.asarray(k)[0], atol=1e-6)
+    np.testing.assert_allclose(wk[s : 2 * s], np.asarray(ref_k)[0, 0], atol=1e-6)
+    np.testing.assert_allclose(wk[2 * s :], np.asarray(ref_k)[0, 1], atol=1e-6)

@@ -1,0 +1,122 @@
+"""Golden tests for NHWC primitives against torch (CPU) reference ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from instantrestore_tpu.ops import primitives as P
+
+
+def test_dense_matches_torch(rng):
+    x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    out = P.dense({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x))
+    ref = torch.from_numpy(x) @ torch.from_numpy(w) + torch.from_numpy(b)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_dense_lora_delta(rng):
+    x = rng.normal(size=(3, 16)).astype(np.float32)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    a = rng.normal(size=(16, 4)).astype(np.float32)
+    bmat = rng.normal(size=(4, 8)).astype(np.float32)
+    p = {"kernel": jnp.asarray(w), "lora_A": jnp.asarray(a), "lora_B": jnp.asarray(bmat)}
+    out = P.dense(p, jnp.asarray(x), lora_scaling=0.5)
+    ref = x @ w + 0.5 * (x @ a @ bmat)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.normal(size=(2, 9, 9, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 6)).astype(np.float32)  # HWIO
+    b = rng.normal(size=(6,)).astype(np.float32)
+    for stride, padding in [(1, 1), (2, 1), (1, 0)]:
+        if padding == 0 and stride == 1:
+            pass
+        out = P.conv2d(
+            {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+            jnp.asarray(x),
+            stride=stride,
+            padding=padding,
+        )
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        wt = torch.from_numpy(w).permute(3, 2, 0, 1)  # OIHW
+        ref = F.conv2d(xt, wt, torch.from_numpy(b), stride=stride, padding=padding)
+        np.testing.assert_allclose(
+            np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4
+        )
+
+
+def test_conv_lora_matches_torch_peft_semantics(rng):
+    # peft Conv2d LoRA: delta = scaling * conv1x1_B(conv_A(x))
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 6)).astype(np.float32)
+    a = rng.normal(size=(3, 3, 4, 2)).astype(np.float32)
+    bm = rng.normal(size=(1, 1, 2, 6)).astype(np.float32)
+    p = {"kernel": jnp.asarray(w), "lora_A": jnp.asarray(a), "lora_B": jnp.asarray(bm)}
+    out = P.conv2d(p, jnp.asarray(x), stride=1, padding=1, lora_scaling=0.25)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    base = F.conv2d(xt, torch.from_numpy(w).permute(3, 2, 0, 1), padding=1)
+    at = F.conv2d(xt, torch.from_numpy(a).permute(3, 2, 0, 1), padding=1)
+    delta = F.conv2d(at, torch.from_numpy(bm).permute(3, 2, 0, 1))
+    ref = base + 0.25 * delta
+    np.testing.assert_allclose(np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.normal(size=(2, 6, 6, 32)).astype(np.float32)
+    scale = rng.normal(size=(32,)).astype(np.float32)
+    bias = rng.normal(size=(32,)).astype(np.float32)
+    out = P.group_norm(
+        {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        jnp.asarray(x),
+        num_groups=8,
+        eps=1e-6,
+    )
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.group_norm(xt, 8, torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.normal(size=(2, 7, 24)).astype(np.float32)
+    scale = rng.normal(size=(24,)).astype(np.float32)
+    bias = rng.normal(size=(24,)).astype(np.float32)
+    out = P.layer_norm({"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}, jnp.asarray(x))
+    ref = F.layer_norm(
+        torch.from_numpy(x), (24,), torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-4)
+
+
+def test_geglu_matches_torch(rng):
+    x = rng.normal(size=(2, 3, 8)).astype(np.float32)
+    w = rng.normal(size=(8, 16)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    out = P.geglu({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x))
+    proj = torch.from_numpy(x) @ torch.from_numpy(w) + torch.from_numpy(b)
+    h, gate = proj.chunk(2, dim=-1)
+    ref = h * F.gelu(gate)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    # diffusers get_timestep_embedding with flip_sin_to_cos=True, shift=0
+    t = np.array([0, 249, 999], dtype=np.int32)
+    dim = 320
+    half = dim // 2
+    freqs = np.exp(-np.log(10000) * np.arange(half) / half)
+    args = t[:, None].astype(np.float64) * freqs[None]
+    ref = np.concatenate([np.cos(args), np.sin(args)], axis=-1)  # flipped
+    out = P.timestep_embedding(jnp.asarray(t), dim)
+    # fp32 arg rounding bounds accuracy to ~1e-4 at t=999
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
+
+
+def test_silu_fp32():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    ref = torch.nn.functional.silu(torch.tensor([-1.0, 0.0, 2.0])).numpy()
+    np.testing.assert_allclose(np.asarray(P.silu(x)), ref, atol=1e-6)
