@@ -10,8 +10,9 @@ passed through ``cross_attention_kwargs``.
 Here that is pure data flow:
 
 * K/V capture is a return value: ``attention(..., capture_kv=True)`` returns
-  the raw ``to_k``/``to_v`` projections alongside the output.
-* Shared attention takes ``ref_kv=(ref_k, ref_v)`` of shape [B, N, S, inner]
+  the head-split ``to_k``/``to_v`` projections ([B, H, S, d]) alongside the
+  output.
+* Shared attention takes ``ref_kv=(ref_k, ref_v)`` of shape [B, N, H, S, d]
   and computes softmax attention over the widened K/V, exactly matching the
   reference semantics: invalid references are ZEROED K/V rows (not -inf
   masked; pix2pix_turbo.py:269-273), so they still receive uniform attention
@@ -68,15 +69,15 @@ def widen_kv(
     v: jnp.ndarray,
     ref_k: jnp.ndarray,
     ref_v: jnp.ndarray,
-    heads: int,
     *,
     use_adain: bool = False,
     train_input: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Concatenate per-head reference K/V onto the input K/V.
 
-    k, v:          [B, h, S, d]   (input-image keys/values, post head split)
-    ref_k, ref_v:  [B, N, S, h*d] (raw captured projections per reference)
+    k, v:          [B, h, S, d]      (input-image keys/values, head split)
+    ref_k, ref_v:  [B, N, h, S, d]   (captured projections per reference,
+                                      head-split layout)
 
     Returns widened (K, V) of shape [B, h, S + N*S, d] (or [B, h, N*S, d]
     when ``train_input`` is False — the shipped configs' refs-only mode,
@@ -84,11 +85,10 @@ def widen_kv(
     Reference order matches the reference code: input block first, then
     references in order.
     """
-    b, n, s, inner = ref_k.shape
-    d = inner // heads
-    # [B, N, S, h, d] -> [B, h, N, S, d] -> [B, h, N*S, d]
-    rk = ref_k.reshape(b, n, s, heads, d).transpose(0, 3, 1, 2, 4)
-    rv = ref_v.reshape(b, n, s, heads, d).transpose(0, 3, 1, 2, 4)
+    b, n, heads, s, d = ref_k.shape
+    # [B, N, h, S, d] -> [B, h, N, S, d]
+    rk = ref_k.transpose(0, 2, 1, 3, 4)
+    rv = ref_v.transpose(0, 2, 1, 3, 4)
 
     if use_adain:
         # Style statistics come from the INPUT image values over the sequence
@@ -133,9 +133,10 @@ def attention(
       hidden: [B, S, C] token-major hidden states.
       encoder_hidden: context for cross-attention ([B, Sc, Dc]) or None for
          self-attention.
-      ref_kv: optional (ref_k, ref_v) [B, N, S, inner] for shared attention
+      ref_kv: optional (ref_k, ref_v) [B, N, H, S, d] for shared attention
          (only meaningful for self-attention in up blocks).
-      capture_kv: return the raw K/V projections (frozen-UNet capture pass).
+      capture_kv: return the head-split K/V projections (frozen-UNet capture
+         pass).
       save_probs: additionally return fp32 attention probabilities
          [B, h, Sq, Skv] (training losses / demo attention-mass stats).
 
@@ -148,26 +149,40 @@ def attention(
     k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
     v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
 
-    if capture_kv:
-        aux["kv"] = (k_raw, v_raw)
-
     q = _split_heads(q, heads)
     k = _split_heads(k_raw, heads)
     v = _split_heads(v_raw, heads)
 
-    if ref_kv is not None:
-        k, v = widen_kv(
-            k, v, ref_kv[0], ref_kv[1], heads, use_adain=use_adain, train_input=train_input
-        )
+    if capture_kv:
+        # Head-split layout [B, H, S, d]: free here (already computed for the
+        # attention below) and exactly the tiling the Pallas shared-attention
+        # kernel wants ([.., S, d] trailing dims).
+        aux["kv"] = (k, v)
 
     d = q.shape[-1]
     scale = d ** -0.5
 
     if use_fused and not save_probs:
-        from instantrestore_tpu.ops.shared_attention import fused_attention
+        from instantrestore_tpu.ops import shared_attention as fused
 
-        out = fused_attention(q, k, v, scale=scale)
+        if ref_kv is not None:
+            # captured K/V arrive in head-split layout [B, N, h, S, d] and
+            # are streamed segment-by-segment; AdaIN folds into a
+            # per-segment V affine applied on the fly.
+            rk, rv = ref_kv
+            affine = fused.adain_affine(v, rv) if use_adain else None
+            out = fused.shared_flash_attention(
+                q, k, v, rk, rv, scale=scale, v_affine=affine,
+                include_input=train_input,
+            )
+        else:
+            out = fused.flash_attention(q, k, v, scale=scale)
     else:
+        if ref_kv is not None:
+            k, v = widen_kv(
+                k, v, ref_kv[0], ref_kv[1],
+                use_adain=use_adain, train_input=train_input,
+            )
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * scale

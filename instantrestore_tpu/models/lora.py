@@ -1,0 +1,159 @@
+"""LoRA attachment and trainable-parameter masking over param trees.
+
+Replicates peft's behavior as the reference uses it
+(/root/reference/face_replace/models/pix2pix_turbo.py:109-188) without any
+module surgery: walking the param tree, a dense/conv param dict whose
+diffusers-style dotted name matches a target module (peft rule: name equals
+the target or ends with ".<target>") gains ``lora_A``/``lora_B`` leaves.
+
+Shipped target lists (pix2pix_turbo.py:151-156,171-174):
+  UNet: to_k, to_q, to_v, to_out.0, conv, conv1, conv2, conv_shortcut,
+        conv_out, proj_in, proj_out, ff.net.2, ff.net.0.proj
+  VAE:  conv1, conv2, conv_in, conv_shortcut, conv, conv_out,
+        to_k, to_q, to_v, to_out.0 (+ skip_conv_1..4 when use_shortcuts)
+
+Init: "gaussian" (normal std 1/r) for A, zeros for B; effective scaling
+alpha/r with alpha = r // 2 at training time (:158-161,175-178) — note the
+load-time quirk documented in utils/torch_convert.py.
+
+Trainables (set_train, pix2pix_turbo.py:200-221): lora leaves everywhere,
+plus the UNet's full conv_in, plus VAE skip convs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+
+from instantrestore_tpu.ops.primitives import add_lora_conv, add_lora_dense
+
+UNET_LORA_TARGETS = (
+    "to_k", "to_q", "to_v", "to_out.0", "conv", "conv1", "conv2",
+    "conv_shortcut", "conv_out", "proj_in", "proj_out", "ff.net.2",
+    "ff.net.0.proj",
+)
+VAE_LORA_TARGETS = (
+    "conv1", "conv2", "conv_in", "conv_shortcut", "conv", "conv_out",
+    "to_k", "to_q", "to_v", "to_out.0",
+)
+VAE_SHORTCUT_TARGETS = VAE_LORA_TARGETS + (
+    "skip_conv_1", "skip_conv_2", "skip_conv_3", "skip_conv_4",
+)
+
+
+def _torch_name(key) -> str:
+    if key == "net_0_proj":
+        return "net.0.proj"
+    if key == "net_2":
+        return "net.2"
+    if key == "to_out":
+        return "to_out.0"
+    return str(key)
+
+
+def _matches(name: str, targets: Sequence[str]) -> bool:
+    return any(name == t or name.endswith("." + t) for t in targets)
+
+
+def _is_param_dict(node) -> bool:
+    return isinstance(node, dict) and "kernel" in node
+
+
+def attach_lora(
+    params: Dict[str, Any],
+    key: jax.Array,
+    rank: int,
+    targets: Sequence[str],
+    *,
+    exclude: Sequence[str] = (),
+) -> Dict[str, Any]:
+    """Return a copy of ``params`` with LoRA factors on matching modules.
+
+    ``exclude`` lists dotted names to skip even if matched (e.g. the UNet's
+    top-level ``conv_in`` is fully finetuned rather than LoRA'd — it is not
+    in the UNet target list, but VAE target 'conv' etc. are broad).
+    """
+    counter = [0]
+
+    def walk(node, name: str):
+        if _is_param_dict(node):
+            if _matches(name, targets) and not _matches(name, exclude) and "lora_A" not in node:
+                counter[0] += 1
+                sub = jax.random.fold_in(key, counter[0])
+                if node["kernel"].ndim == 4:
+                    return add_lora_conv(node, sub, rank)
+                return add_lora_dense(node, sub, rank)
+            return node
+        if isinstance(node, dict):
+            return {
+                k: walk(v, f"{name}.{_torch_name(k)}" if name else _torch_name(k))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [walk(v, f"{name}.{i}") for i, v in enumerate(node)]
+        return node
+
+    return walk(params, "")
+
+
+def strip_lora(params: Any) -> Any:
+    """View of the tree without LoRA leaves (the frozen 'original' network).
+
+    Pure dict re-nesting: shares the underlying arrays/tracers, so using it
+    inside jit costs nothing.
+    """
+    if isinstance(params, dict):
+        return {k: strip_lora(v) for k, v in params.items() if k not in ("lora_A", "lora_B")}
+    if isinstance(params, list):
+        return [strip_lora(v) for v in params]
+    return params
+
+
+def trainable_mask(
+    params: Dict[str, Any],
+    *,
+    extra_trainable: Sequence[str] = (),
+) -> Any:
+    """Bool pytree: True for lora leaves and modules whose dotted name
+    matches ``extra_trainable`` (e.g. ("conv_in",) for the UNet,
+    ("skip_conv_1", ..., ) for the VAE decoder)."""
+
+    def walk(node, name: str):
+        if isinstance(node, dict):
+            full_train = _matches(name, extra_trainable)
+            return {
+                k: (
+                    True
+                    if k in ("lora_A", "lora_B")
+                    else (
+                        full_train
+                        if not isinstance(v, (dict, list))
+                        else walk(v, f"{name}.{_torch_name(k)}" if name else _torch_name(k))
+                    )
+                )
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [walk(v, f"{name}.{i}") for i, v in enumerate(node)]
+        return _matches(name, extra_trainable)
+
+    return walk(params, "")
+
+
+def count_lora_params(params: Any) -> int:
+    total = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("lora_A", "lora_B"):
+                    total[0] += v.size
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return total[0]

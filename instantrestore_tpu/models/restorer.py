@@ -1,0 +1,325 @@
+"""The InstantRestore model: single-step personalized face restoration.
+
+Functional twin of the reference's Pix2Pix_Turbo module
+(/root/reference/face_replace/models/pix2pix_turbo.py) with TPU-native
+structure: ONE parameter bundle where the "frozen original UNet/VAE"
+(pix2pix_turbo.py:56-76) are not second copies but zero-cost *views* of the
+same base weights — LoRA leaves stripped and the finetuned conv_in swapped
+back to the pretrained one. That halves HBM for weights versus the
+reference's four live networks.
+
+Forward pass (pix2pix_turbo.py:281-343):
+  1. VAE-encode the degraded input (trainable VAE, LoRA applied)
+  2. reference branch (:242-279): VAE-encode the N conditioning images with
+     the original VAE, noise to t=1, run the original UNet in K/V-capture
+     mode, zero K/V beyond valid_indices, optionally 1-step-decode the refs
+  3. noise the input latent to t in {249, 499, 749} (training; fixed 249 at
+     inference, inference/test.py:62)
+  4. UNet forward with shared-image attention over the captured K/V
+  5. DDPM pred_original_sample -> VAE-decode (optional encoder-skip convs)
+     -> clamp(-1, 1)
+
+The fixed prompt embedding ("A high-quality photo of a person; professional,
+8k", :100-106) is precomputed once and stored in the bundle as
+``caption_enc`` [1, 77, 1024].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instantrestore_tpu.configs.config import ModelConfig
+from instantrestore_tpu.models import scheduler as sched
+from instantrestore_tpu.models.lora import (
+    UNET_LORA_TARGETS,
+    VAE_LORA_TARGETS,
+    VAE_SHORTCUT_TARGETS,
+    attach_lora,
+    strip_lora,
+)
+from instantrestore_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+from instantrestore_tpu.models.vae import (
+    VAEConfig,
+    init_vae_params,
+    sample_latent,
+    vae_decode,
+    vae_encode,
+)
+
+NOISE_TIMESTEPS = (249, 499, 749)  # pix2pix_turbo.py:107
+COND_TIMESTEP = 1  # conditioning branch noise level (:247)
+PROMPT = "A high-quality photo of a person; professional, 8k"
+
+
+@dataclasses.dataclass(frozen=True)
+class RestorerStatics:
+    """Static (trace-time) knobs of the restore forward."""
+
+    unet_cfg: UNetConfig = UNetConfig()
+    vae_cfg: VAEConfig = VAEConfig()
+    use_shared_attention: bool = True
+    use_adain: bool = False
+    train_input: bool = True
+    use_shortcuts: bool = False
+    unet_lora_scaling: float = 0.5  # alpha=r//2 at training (pix2pix_turbo.py:175-178)
+    vae_lora_scaling: float = 0.5
+    noise_timesteps: Tuple[int, ...] = NOISE_TIMESTEPS
+    compute_dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def from_model_config(cls, mcfg: ModelConfig, **overrides) -> "RestorerStatics":
+        kw = dict(
+            use_shared_attention=mcfg.use_shared_attention,
+            use_adain=mcfg.use_adain,
+            train_input=mcfg.train_input,
+            use_shortcuts=mcfg.use_shortcuts,
+            unet_lora_scaling=(mcfg.lora_rank_unet // 2) / mcfg.lora_rank_unet,
+            vae_lora_scaling=(mcfg.lora_rank_vae // 2) / mcfg.lora_rank_vae,
+        )
+        kw.update(overrides)
+        if mcfg.condition_on_face_embeds:
+            raise NotImplementedError(
+                "FaceID cross-attention conditioning (off in all shipped "
+                "reference configs) is not implemented yet"
+            )
+        return cls(**kw)
+
+
+def init_restorer_params(
+    key: jax.Array,
+    statics: RestorerStatics,
+    *,
+    lora_rank_unet: int = 32,
+    lora_rank_vae: int = 32,
+    train_vae: bool = True,
+) -> Dict[str, Any]:
+    """Random-init bundle (tests / from-scratch; real weights via converter).
+
+    Bundle layout:
+      unet:             param tree WITH lora leaves; conv_in is the trainable
+                        (initially pretrained) copy
+      unet_orig_conv_in: pretrained conv_in for the frozen capture view
+      vae:              param tree with lora leaves (+ skip convs if enabled)
+      caption_enc:      [1, 77, cross_attention_dim] fp32 prompt embedding
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    vae_cfg = dataclasses.replace(statics.vae_cfg, use_shortcuts=statics.use_shortcuts)
+    unet = init_unet_params(k1, statics.unet_cfg)
+    unet = attach_lora(unet, k2, lora_rank_unet, UNET_LORA_TARGETS)
+    vae = init_vae_params(k3, vae_cfg)
+    if train_vae:
+        targets = VAE_SHORTCUT_TARGETS if statics.use_shortcuts else VAE_LORA_TARGETS
+        vae = attach_lora(vae, k4, lora_rank_vae, targets)
+    caption = jax.random.normal(
+        jax.random.fold_in(key, 7),
+        (1, 77, statics.unet_cfg.cross_attention_dim),
+        jnp.float32,
+    )
+    return {
+        "unet": unet,
+        "unet_orig_conv_in": dict(unet["conv_in"]),
+        "vae": vae,
+        "caption_enc": caption,
+    }
+
+
+def original_unet_view(params: Dict[str, Any]) -> Dict[str, Any]:
+    """The frozen K/V-capture UNet: base weights, pretrained conv_in.
+
+    Pure dict re-nesting over the same arrays — free inside jit. If the
+    bundle carries an explicit ``original_unet`` (converted from a FULL
+    checkpoint where it diverged), that takes precedence.
+    """
+    if "original_unet" in params:
+        return params["original_unet"]
+    view = strip_lora(params["unet"])
+    view["conv_in"] = params["unet_orig_conv_in"]
+    return view
+
+
+def original_vae_view(params: Dict[str, Any]) -> Dict[str, Any]:
+    if "original_vae" in params:
+        return params["original_vae"]
+    return strip_lora(params["vae"])
+
+
+def mask_ref_kv(kv, valid_indices: jnp.ndarray, batch: int, n_refs: int):
+    """Reshape captured head-split [B*N, H, S, d] K/V to [B, N, H, S, d] and
+    zero entries at or beyond each sample's valid count
+    (pix2pix_turbo.py:265-273)."""
+    masked = []
+    valid = valid_indices.astype(jnp.int32)
+    mask = (jnp.arange(n_refs)[None, :] < valid[:, None]).astype(jnp.float32)
+    for k, v in kv:
+        k = k.reshape(batch, n_refs, *k.shape[1:])
+        v = v.reshape(batch, n_refs, *v.shape[1:])
+        m = mask[:, :, None, None, None].astype(k.dtype)
+        masked.append((k * m, v * m))
+    return masked
+
+
+def get_conditioning_kv(
+    params: Dict[str, Any],
+    cond_images: jnp.ndarray,
+    valid_indices: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    statics: RestorerStatics,
+    alphas_cumprod: jnp.ndarray,
+    sample_posterior: bool = True,
+    decode_conditions: bool = False,
+):
+    """Reference branch: extract shared-attention K/V from the N conditioning
+    images (pix2pix_turbo.py:242-279)."""
+    b, n = cond_images.shape[:2]
+    flat = cond_images.reshape(b * n, *cond_images.shape[2:])
+    r_lat, r_noise = jax.random.split(rng)
+
+    ovae = original_vae_view(params)
+    ounet = original_unet_view(params)
+    sf = statics.vae_cfg.scaling_factor
+
+    mean, logvar, _ = vae_encode(
+        ovae, flat, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype
+    )
+    z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
+    t1 = jnp.full((b * n,), COND_TIMESTEP, jnp.int32)
+    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    zt = sched.add_noise(alphas_cumprod, z, noise, t1)
+
+    caption = jnp.tile(params["caption_enc"], (b * n, 1, 1))
+    eps, aux = unet_apply(
+        ounet,
+        zt,
+        t1,
+        caption,
+        cfg=statics.unet_cfg,
+        capture_kv=True,
+        compute_dtype=statics.compute_dtype,
+    )
+    ref_kv = mask_ref_kv(aux["kv"], valid_indices, b, n)
+
+    decoded = None
+    if decode_conditions:
+        x0 = sched.pred_original_sample(alphas_cumprod, eps, zt, t1)
+        decoded = jnp.clip(
+            vae_decode(ovae, x0 / sf, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype),
+            -1.0,
+            1.0,
+        ).reshape(b, n, *cond_images.shape[2:])
+    return ref_kv, decoded
+
+
+def restore_forward(
+    params: Dict[str, Any],
+    image: jnp.ndarray,
+    cond_images: Optional[jnp.ndarray] = None,
+    valid_indices: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    *,
+    statics: RestorerStatics,
+    timestep: Optional[int] = None,
+    sample_posterior: bool = True,
+    decode_conditions: bool = False,
+    save_attn_probs: bool = False,
+    use_fused_attention: bool = False,
+) -> Dict[str, Any]:
+    """Full restoration forward.
+
+    Args:
+      image: degraded input [B, H, W, 3] in [-1, 1].
+      cond_images: [B, N, H, W, 3] same-identity references (already padded
+        to N; padding rows are masked via valid_indices).
+      valid_indices: [B] int count of valid references per sample.
+      rng: PRNG key driving latent sampling + forward-diffusion noise (+
+        train-time timestep choice). Required.
+      timestep: fixed noise timestep (249 at inference); None samples
+        uniformly from statics.noise_timesteps (training,
+        pix2pix_turbo.py:306).
+
+    Returns dict: output_image [B,H,W,3] in [-1,1]; output_image_conditions
+    (when decode_conditions); attn_probs (when save_attn_probs); timestep.
+    """
+    b = image.shape[0]
+    abar = sched.make_alphas_cumprod()
+    sf = statics.vae_cfg.scaling_factor
+    r_cond, r_lat, r_noise, r_t = jax.random.split(rng, 4)
+
+    # 1. encode the degraded input with the trainable VAE
+    mean, logvar, skip_acts = vae_encode(
+        params["vae"],
+        image,
+        cfg=statics.vae_cfg,
+        lora_scaling=statics.vae_lora_scaling,
+        compute_dtype=statics.compute_dtype,
+    )
+    z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
+
+    # 2. shared-attention K/V from the reference images
+    ref_kv, decoded_conds = None, None
+    if cond_images is not None and statics.use_shared_attention:
+        if valid_indices is None:
+            valid_indices = jnp.full((b,), cond_images.shape[1], jnp.int32)
+        ref_kv, decoded_conds = get_conditioning_kv(
+            params,
+            cond_images,
+            valid_indices,
+            r_cond,
+            statics=statics,
+            alphas_cumprod=abar,
+            sample_posterior=sample_posterior,
+            decode_conditions=decode_conditions,
+        )
+
+    # 3. forward-diffuse the input latent
+    if timestep is None:
+        idx = jax.random.randint(r_t, (), 0, len(statics.noise_timesteps))
+        t = jnp.asarray(statics.noise_timesteps, jnp.int32)[idx]
+    else:
+        t = jnp.asarray(timestep, jnp.int32)
+    tb = jnp.broadcast_to(t, (b,))
+    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    zt = sched.add_noise(abar, z, noise, tb)
+
+    # 4. restoration UNet with shared-image attention
+    caption = jnp.tile(params["caption_enc"], (b, 1, 1))
+    eps, aux = unet_apply(
+        params["unet"],
+        zt,
+        tb,
+        caption,
+        cfg=statics.unet_cfg,
+        ref_kv=ref_kv,
+        use_adain=statics.use_adain,
+        train_input=statics.train_input,
+        save_attn_probs=save_attn_probs,
+        use_fused_attention=use_fused_attention,
+        lora_scaling=statics.unet_lora_scaling,
+        compute_dtype=statics.compute_dtype,
+    )
+
+    # 5. x0 estimate and decode (with encoder skips when trained with them)
+    x0 = sched.pred_original_sample(abar, eps, zt, tb)
+    out = vae_decode(
+        params["vae"],
+        x0 / sf,
+        cfg=statics.vae_cfg,
+        skip_acts=skip_acts if statics.use_shortcuts else None,
+        gamma=1.0,
+        lora_scaling=statics.vae_lora_scaling,
+        compute_dtype=statics.compute_dtype,
+    )
+    result = {
+        "output_image": jnp.clip(out, -1.0, 1.0),
+        "timestep": t,
+        "latent_pred": x0,
+    }
+    if decoded_conds is not None:
+        result["output_image_conditions"] = decoded_conds
+    if save_attn_probs:
+        result["attn_probs"] = aux.get("attn_probs")
+    return result

@@ -1,0 +1,132 @@
+"""CLIP text encoder (OpenCLIP ViT-H text tower as shipped with SD2.1/
+sd-turbo) — functional JAX.
+
+The reference instantiates transformers' CLIPTextModel once to embed a single
+fixed prompt (/root/reference/face_replace/models/pix2pix_turbo.py:94-106)
+and never touches it again; the embedding rides through every forward. We
+keep the full encoder for capability parity (checkpoints carry its weights,
+and custom prompts stay supported), but the normal serving path uses the
+precomputed ``caption_enc`` in the restorer bundle.
+
+Config (stabilityai/sd-turbo text_encoder): vocab 49408, hidden 1024,
+23 layers, 16 heads, intermediate 4096, act gelu, max positions 77, causal
+mask, eps 1e-5; output = last_hidden_state after final_layer_norm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from instantrestore_tpu.ops.primitives import dense, gelu, init_dense, init_norm, layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 1024
+    num_layers: int = 23
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 49407
+
+
+def init_text_encoder_params(key, cfg: CLIPTextConfig = CLIPTextConfig()) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 4 + 6 * cfg.num_layers))
+    d = cfg.hidden_size
+    params: Dict[str, Any] = {
+        "text_model": {
+            "embeddings": {
+                "token_embedding": {
+                    "embedding": jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02
+                },
+                "position_embedding": {
+                    "embedding": jax.random.normal(next(keys), (cfg.max_position_embeddings, d))
+                    * 0.01
+                },
+            },
+            "encoder": {"layers": []},
+            "final_layer_norm": init_norm(d),
+        }
+    }
+    for _ in range(cfg.num_layers):
+        layer = {
+            "layer_norm1": init_norm(d),
+            "self_attn": {
+                "q_proj": init_dense(next(keys), d, d),
+                "k_proj": init_dense(next(keys), d, d),
+                "v_proj": init_dense(next(keys), d, d),
+                "out_proj": init_dense(next(keys), d, d),
+            },
+            "layer_norm2": init_norm(d),
+            "mlp": {
+                "fc1": init_dense(next(keys), d, cfg.intermediate_size),
+                "fc2": init_dense(next(keys), cfg.intermediate_size, d),
+            },
+        }
+        params["text_model"]["encoder"]["layers"].append(layer)
+    return params
+
+
+def text_encoder_apply(
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    *,
+    cfg: CLIPTextConfig = CLIPTextConfig(),
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """input_ids [B, 77] int32 -> last_hidden_state [B, 77, D] (post final LN).
+
+    This matches ``CLIPTextModel(tokens)[0]`` which the reference stores as
+    caption_enc (pix2pix_turbo.py:106).
+    """
+    tm = params["text_model"]
+    b, s = input_ids.shape
+    d = cfg.hidden_size
+    tok = tm["embeddings"]["token_embedding"]["embedding"][input_ids]
+    pos = tm["embeddings"]["position_embedding"]["embedding"][:s]
+    h = (tok + pos[None]).astype(compute_dtype)
+
+    # causal mask, matching CLIP's additive -inf upper triangle
+    causal = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+
+    heads = cfg.num_heads
+    hd = d // heads
+    scale = hd ** -0.5
+    for layer in tm["encoder"]["layers"]:
+        res = h
+        x = layer_norm(layer["layer_norm1"], h, eps=cfg.layer_norm_eps)
+        ap = layer["self_attn"]
+        q = dense(ap["q_proj"], x).reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+        k = dense(ap["k_proj"], x).reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+        v = dense(ap["v_proj"], x).reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale + causal[None, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, s, d)
+        h = res + dense(ap["out_proj"], o)
+
+        res = h
+        x = layer_norm(layer["layer_norm2"], h, eps=cfg.layer_norm_eps)
+        x = dense(layer["mlp"]["fc2"], gelu(dense(layer["mlp"]["fc1"], x)))
+        h = res + x
+
+    return layer_norm(tm["final_layer_norm"], h, eps=cfg.layer_norm_eps)
+
+
+def encode_prompt(
+    params: Dict[str, Any],
+    input_ids,
+    cfg: CLIPTextConfig = CLIPTextConfig(),
+) -> jnp.ndarray:
+    """Convenience: token ids (list or array, [77] or [1, 77]) -> caption_enc
+    [1, 77, D] fp32, ready to store in the restorer bundle."""
+    ids = jnp.asarray(input_ids, jnp.int32)
+    if ids.ndim == 1:
+        ids = ids[None]
+    return text_encoder_apply(params, ids, cfg=cfg).astype(jnp.float32)

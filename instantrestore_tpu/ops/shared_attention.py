@@ -1,0 +1,320 @@
+"""Pallas TPU kernels: fused (flash-style) attention for the restoration UNet.
+
+Why: the shared-image attention widens self-attention K/V to
+(1 + N_ref) * seq (SURVEY.md §5 "wide-KV attention"); at the 64x64 layer with
+4 refs that is a [B, 5, 4096, 20480] probability tensor per layer — XLA
+materializes it in HBM, which caps serving throughput. These kernels compute
+softmax(Q K^T) V with online (streaming) softmax so probabilities never leave
+VMEM, and consume the captured reference K/V **in the head-split layout the
+capture pass already produces** ([B, N, H, S, d] — no transposed copy), with
+the AdaIN value modulation folded in as a per-segment affine
+(attn_processors.py:242-246 — stats are precomputed outside as cheap
+reductions; the kernel applies v * scale + shift while streaming each
+reference's V block).
+
+Two entry points:
+  * ``flash_attention(q, k, v)``      — plain self-attention, one KV array
+  * ``shared_flash_attention(...)``   — input segment + N reference segments,
+                                        optional refs-only mode (train_input
+                                        False) and per-reference V affine
+
+Inference-path only for now: no custom VJP (training uses the XLA attention,
+which must materialize probabilities anyway for the landmark-attention loss).
+Numerics: fp32 logits/softmax/accumulator; the P @ V matmul runs in the input
+dtype (bf16 on TPU) like the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# plain flash attention: grid (B, H, n_q, n_kv), online softmax over kv blocks
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, scale):
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc[:] = acc[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """q [B, H, Sq, d], k/v [B, H, Skv, d] -> [B, H, Sq, d]."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    assert sq % bq == 0 and skv % bk == 0, (sq, skv, bq, bk)
+    grid = (b, h, sq // bq, skv // bk)
+    interpret = _interpret_default() if interpret is None else interpret
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d), lambda b_, h_, i, j: (b_, h_, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d), lambda b_, h_, i, j: (b_, h_, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# shared-image attention: segment-streamed KV
+# grid (B, H, n_q, n_seg); segment 0 = input KV (optional), then N references
+# consumed straight from the captured layout [B, N, S, H, d].
+# ---------------------------------------------------------------------------
+
+
+def _shared_kernel(
+    q_ref, kin_ref, vin_ref, rk_ref, rv_ref, aff_ref, o_ref, acc, m_scr, l_scr,
+    *, scale, block_k, seg_len, include_input,
+):
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0, 0]  # [BQ, d]
+    is_input_seg = include_input and (j == 0)
+
+    v_scale = aff_ref[0, 0, 0, 0, :]  # [d]
+    v_shift = aff_ref[0, 0, 0, 1, :]
+
+    def chunk_body(c, _):
+        start = c * block_k
+        if include_input:
+            k_seg = jax.lax.cond(
+                j == 0,
+                lambda: kin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rk_ref[0, 0, 0, pl.ds(start, block_k), :],
+            )
+            v_seg = jax.lax.cond(
+                j == 0,
+                lambda: vin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype),
+            )
+        else:
+            k_seg = rk_ref[0, 0, 0, pl.ds(start, block_k), :]
+            v_seg = (
+                rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype)
+            )
+        s = jax.lax.dot_general(
+            q, k_seg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc[:] = acc[:] * alpha + jax.lax.dot(
+            p.astype(v_seg.dtype), v_seg, preferred_element_type=jnp.float32
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        return ()
+
+    # rolled loop: unrolling inflates Mosaic compile time ~50x for a <5%
+    # steady-state win at these chunk sizes
+    jax.lax.fori_loop(0, seg_len // block_k, chunk_body, ())
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def shared_flash_attention(
+    q: jnp.ndarray,          # [B, H, Sq, d]
+    k_in: jnp.ndarray,       # [B, H, S, d]   input-image K (post head split)
+    v_in: jnp.ndarray,       # [B, H, S, d]
+    ref_k: jnp.ndarray,      # [B, N, H, S, d] captured reference K (head-split)
+    ref_v: jnp.ndarray,      # [B, N, H, S, d]
+    *,
+    scale: float,
+    v_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # each [B,H,N,d]
+    include_input: bool = True,
+    block_q: int = 1024,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused widened attention over [input | ref_1 | ... | ref_N] K/V.
+
+    ``v_affine`` = (scale, shift) applies AdaIN to each reference's values
+    while streaming (identity when None). Segment order matches the XLA path
+    (models/attention.py widen_kv): input first, references in order.
+    """
+    b, h, sq, d = q.shape
+    n = ref_k.shape[1]
+    s = ref_k.shape[3]
+    bq = min(block_q, sq)
+    bk = min(block_k, s)
+    assert sq % bq == 0 and s % bk == 0
+
+    if v_affine is None:
+        vs = jnp.ones((b, h, n, d), jnp.float32)
+        vh = jnp.zeros((b, h, n, d), jnp.float32)
+    else:
+        vs, vh = (a.astype(jnp.float32) for a in v_affine)
+    # pack [B, H, N(+1), 2, d]; segment 0 (input) gets the identity affine
+    aff = jnp.stack([vs, vh], axis=3)  # [B, H, N, 2, d]
+    if include_input:
+        ident = jnp.stack(
+            [jnp.ones((b, h, 1, d), jnp.float32), jnp.zeros((b, h, 1, d), jnp.float32)],
+            axis=3,
+        )
+        aff = jnp.concatenate([ident, aff], axis=2)  # [B, H, N+1, 2, d]
+
+    n_seg = n + 1 if include_input else n
+    grid = (b, h, sq // bq, n_seg)
+    interpret = _interpret_default() if interpret is None else interpret
+
+    if include_input:
+        # segment j=0 is the input; ref blocks park on ref 0 there (revisited
+        # at j=1, so the pipeline skips the redundant copy).
+        ref_index = lambda b_, h_, i, j: (b_, jnp.maximum(j - 1, 0), h_, 0, 0)
+    else:
+        ref_index = lambda b_, h_, i, j: (b_, j, h_, 0, 0)
+    # aff carries the identity row at position 0 when include_input, so its
+    # index is simply j in both modes.
+    aff_index = lambda b_, h_, i, j: (b_, h_, j, 0, 0)
+
+    kernel = functools.partial(
+        _shared_kernel,
+        scale=scale,
+        block_k=bk,
+        seg_len=s,
+        include_input=include_input,
+    )
+    vmem = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s, d), lambda b_, h_, i, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2, d), aff_index, memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k_in, v_in, ref_k, ref_v, aff)
+
+
+def fused_attention(q, k, v, *, scale: float) -> jnp.ndarray:
+    """Drop-in for the XLA einsum path in models/attention.py: already-wide
+    [B, H, Sq, d] x [B, H, Skv, d]."""
+    return flash_attention(q, k, v, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# AdaIN affine precomputation (host of the fused path)
+# ---------------------------------------------------------------------------
+
+
+def adain_affine(
+    v_in: jnp.ndarray,   # [B, H, S, d] input values (post head split)
+    ref_v: jnp.ndarray,  # [B, N, H, S, d] captured reference values
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, head, ref, channel) scale/shift such that
+    v*scale + shift == adain(v, style stats of the input values).
+
+    Matches models/attention.py adain semantics: unbiased std over the
+    sequence axis, eps added to std.
+    """
+    vf = v_in.astype(jnp.float32)
+    style_mean = vf.mean(axis=2)  # [B, H, d]
+    style_std = jnp.sqrt(vf.var(axis=2, ddof=1)) + eps
+    rf = ref_v.astype(jnp.float32)
+    content_mean = rf.mean(axis=3)  # [B, N, H, d]
+    content_std = jnp.sqrt(rf.var(axis=3, ddof=1)) + eps
+    # transpose ref stats to [B, H, N, d]
+    content_mean = content_mean.transpose(0, 2, 1, 3)
+    content_std = content_std.transpose(0, 2, 1, 3)
+    scale = style_std[:, :, None, :] / content_std
+    shift = style_mean[:, :, None, :] - content_mean * scale
+    return scale, shift

@@ -55,6 +55,12 @@ def _mk(rng, *shape):
     return rng.normal(size=shape).astype(np.float32)
 
 
+def _to_headsplit(ref, heads):
+    """[B, N, S, C] raw -> [B, N, H, S, d] head-split layout."""
+    b, n, s, c = ref.shape
+    return ref.reshape(b, n, s, heads, c // heads).transpose(0, 1, 3, 2, 4)
+
+
 def _params(rng, c):
     return {
         "to_q": {"kernel": jnp.asarray(_mk(rng, c, c))},
@@ -77,7 +83,10 @@ def test_shared_attention_matches_torch_replica(rng):
                 p,
                 jnp.asarray(x),
                 heads=heads,
-                ref_kv=(jnp.asarray(ref_k), jnp.asarray(ref_v)),
+                ref_kv=(
+                    jnp.asarray(_to_headsplit(ref_k, heads)),
+                    jnp.asarray(_to_headsplit(ref_v, heads)),
+                ),
                 use_adain=use_adain,
                 train_input=train_input,
                 save_probs=True,
@@ -123,14 +132,18 @@ def test_plain_self_attention_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4)
 
 
-def test_capture_kv_returns_raw_projections(rng):
-    b, s, c = 1, 4, 8
+def test_capture_kv_returns_headsplit_projections(rng):
+    b, s, c, heads = 1, 4, 8, 2
+    d = c // heads
     p = _params(rng, c)
     x = _mk(rng, b, s, c)
-    out, aux = attention(p, jnp.asarray(x), heads=2, capture_kv=True)
+    out, aux = attention(p, jnp.asarray(x), heads=heads, capture_kv=True)
     k, v = aux["kv"]
-    np.testing.assert_allclose(np.asarray(k), x @ np.asarray(p["to_k"]["kernel"]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(v), x @ np.asarray(p["to_v"]["kernel"]), atol=1e-5)
+    assert k.shape == (b, heads, s, d)
+    raw_k = (x @ np.asarray(p["to_k"]["kernel"])).reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    raw_v = (x @ np.asarray(p["to_v"]["kernel"])).reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(k), raw_k, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), raw_v, atol=1e-5)
 
 
 def test_zeroed_refs_receive_uniform_mass_not_none(rng):
@@ -140,8 +153,8 @@ def test_zeroed_refs_receive_uniform_mass_not_none(rng):
     b, s, c, heads = 1, 4, 8, 2
     p = _params(rng, c)
     x = _mk(rng, b, s, c)
-    ref_k = np.zeros((b, 1, s, c), np.float32)
-    ref_v = np.zeros((b, 1, s, c), np.float32)
+    ref_k = np.zeros((b, 1, heads, s, c // heads), np.float32)
+    ref_v = np.zeros((b, 1, heads, s, c // heads), np.float32)
     _, aux = attention(
         p, jnp.asarray(x), heads=heads, ref_kv=(jnp.asarray(ref_k), jnp.asarray(ref_v)),
         save_probs=True,
@@ -156,12 +169,12 @@ def test_widen_kv_ordering(rng):
     b, s, c, heads, n = 1, 2, 4, 1, 2
     k = jnp.asarray(_mk(rng, b, s, c))
     v = jnp.asarray(_mk(rng, b, s, c))
-    ref_k = jnp.asarray(_mk(rng, b, n, s, c))
-    ref_v = jnp.asarray(_mk(rng, b, n, s, c))
+    ref_k = jnp.asarray(_mk(rng, b, n, heads, s, c))
+    ref_v = jnp.asarray(_mk(rng, b, n, heads, s, c))
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)
-    wk, wv = widen_kv(kh, vh, ref_k, ref_v, heads)
+    wk, wv = widen_kv(kh, vh, ref_k, ref_v)
     wk = np.asarray(wk)[0, 0]
     np.testing.assert_allclose(wk[:s], np.asarray(k)[0], atol=1e-6)
-    np.testing.assert_allclose(wk[s : 2 * s], np.asarray(ref_k)[0, 0], atol=1e-6)
-    np.testing.assert_allclose(wk[2 * s :], np.asarray(ref_k)[0, 1], atol=1e-6)
+    np.testing.assert_allclose(wk[s : 2 * s], np.asarray(ref_k)[0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(wk[2 * s :], np.asarray(ref_k)[0, 1, 0], atol=1e-6)

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantrestore_tpu.models.lora import (
+    UNET_LORA_TARGETS,
+    VAE_LORA_TARGETS,
+    attach_lora,
+    count_lora_params,
+    strip_lora,
+    trainable_mask,
+)
+from instantrestore_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+from instantrestore_tpu.models.vae import VAEConfig, init_vae_params
+
+TINY = UNetConfig(
+    sample_size=16,
+    block_out_channels=(32, 64, 64, 64),
+    attention_heads=(1, 2, 2, 2),
+    cross_attention_dim=16,
+    norm_num_groups=8,
+)
+
+
+def test_attach_lora_targets_unet():
+    params = init_unet_params(jax.random.PRNGKey(0), TINY)
+    lp = attach_lora(params, jax.random.PRNGKey(1), 4, UNET_LORA_TARGETS)
+    attn = lp["down_blocks"][0]["attentions"][0]["transformer_blocks"][0]["attn1"]
+    assert "lora_A" in attn["to_q"] and "lora_A" in attn["to_out"]
+    # ff.net targets
+    ff = lp["down_blocks"][0]["attentions"][0]["transformer_blocks"][0]["ff"]
+    assert "lora_A" in ff["net_0_proj"] and "lora_A" in ff["net_2"]
+    # conv targets: resnet conv1/conv2, down/upsampler conv, conv_out
+    assert "lora_A" in lp["down_blocks"][0]["resnets"][0]["conv1"]
+    assert "lora_A" in lp["down_blocks"][0]["downsamplers"][0]["conv"]
+    assert "lora_A" in lp["conv_out"]
+    # NOT targeted: conv_in (fully finetuned instead), norms, time_emb_proj
+    assert "lora_A" not in lp["conv_in"]
+    assert "lora_A" not in lp["down_blocks"][0]["resnets"][0]["time_emb_proj"]
+    assert "lora_A" not in lp["time_embedding"]["linear_1"]
+    # lora_B zero-init -> forward unchanged at init
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    t = jnp.asarray([249])
+    base_out, _ = unet_apply(params, x, t, ctx, cfg=TINY, compute_dtype=jnp.float32)
+    lora_out, _ = unet_apply(
+        lp, x, t, ctx, cfg=TINY, lora_scaling=0.5, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=1e-6)
+
+
+def test_attach_lora_vae_conv_in():
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4)
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    lp = attach_lora(params, jax.random.PRNGKey(1), 4, VAE_LORA_TARGETS)
+    assert "lora_A" in lp["encoder"]["conv_in"]  # conv_in IS a VAE target
+    assert "lora_A" in lp["decoder"]["up_blocks"][0]["resnets"][0]["conv1"]
+    assert "lora_A" in lp["encoder"]["mid_block"]["attentions"][0]["to_q"]
+    assert "lora_A" not in lp["encoder"]["mid_block"]["attentions"][0]["group_norm"]
+    assert count_lora_params(lp) > 0
+
+
+def test_strip_lora_shares_arrays():
+    params = init_unet_params(jax.random.PRNGKey(0), TINY)
+    lp = attach_lora(params, jax.random.PRNGKey(1), 4, UNET_LORA_TARGETS)
+    stripped = strip_lora(lp)
+    q = stripped["down_blocks"][0]["attentions"][0]["transformer_blocks"][0]["attn1"]["to_q"]
+    assert "lora_A" not in q
+    # same underlying array object (no copy)
+    assert q["kernel"] is lp["down_blocks"][0]["attentions"][0]["transformer_blocks"][0]["attn1"]["to_q"]["kernel"]
+
+
+def test_trainable_mask():
+    params = init_unet_params(jax.random.PRNGKey(0), TINY)
+    lp = attach_lora(params, jax.random.PRNGKey(1), 4, UNET_LORA_TARGETS)
+    mask = trainable_mask(lp, extra_trainable=("conv_in",))
+    assert mask["conv_in"]["kernel"] is True
+    assert mask["conv_in"]["bias"] is True
+    attn = mask["down_blocks"][0]["attentions"][0]["transformer_blocks"][0]["attn1"]
+    assert attn["to_q"]["lora_A"] is True
+    assert attn["to_q"]["kernel"] is False
+    assert mask["conv_norm_out"]["scale"] is False
+    # mask tree structure matches param tree
+    jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(lp)

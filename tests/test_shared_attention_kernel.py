@@ -1,0 +1,91 @@
+"""Pallas fused attention kernels vs. the XLA reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantrestore_tpu.models.attention import widen_kv, _split_heads
+from instantrestore_tpu.ops.shared_attention import (
+    adain_affine,
+    flash_attention,
+    shared_flash_attention,
+)
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def test_flash_attention_matches_xla(rng):
+    b, h, sq, skv, d = 2, 3, 64, 128, 8
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    scale = d ** -0.5
+    out = flash_attention(q, k, v, scale=scale, block_q=32, block_k=32, interpret=True)
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("include_input", [True, False])
+@pytest.mark.parametrize("use_adain", [True, False])
+def test_shared_flash_matches_widen_kv_path(rng, include_input, use_adain):
+    b, h, s, d, n = 2, 2, 32, 8, 3
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+
+    # XLA reference: widen_kv then dense attention
+    wk, wv = widen_kv(
+        k_in, v_in, rk, rv, use_adain=use_adain, train_input=include_input
+    )
+    ref = _xla_attention(q, wk, wv, scale)
+
+    affine = adain_affine(v_in, rv) if use_adain else None
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=scale, v_affine=affine,
+        include_input=include_input, block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_adain_affine_matches_adain(rng):
+    """v*scale + shift must equal adain(v, style stats)."""
+    b, h, s, d, n = 1, 2, 16, 4, 2
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    ref_v = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    scale, shift = adain_affine(v_in, ref_v)
+    # reference computation (models/attention.py widen_kv internals)
+    vf = v_in
+    style_mean = vf.mean(axis=2, keepdims=True)
+    style_std = jnp.sqrt(vf.var(axis=2, ddof=1, keepdims=True)) + 1e-5
+    rv_bh = ref_v.transpose(0, 2, 1, 3, 4)  # [B, h, N, S, d]
+    cm = rv_bh.mean(axis=3, keepdims=True)
+    cs = jnp.sqrt(rv_bh.var(axis=3, ddof=1, keepdims=True)) + 1e-5
+    expected = (rv_bh - cm) / cs * style_std[:, :, None] + style_mean[:, :, None]
+    got = rv_bh * scale[:, :, :, None, :] + shift[:, :, :, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_zeroed_ref_segments_preserved(rng):
+    """Invalid (zeroed) reference K/V must behave identically in the fused
+    path: logits 0, not masked out."""
+    b, h, s, d, n = 1, 1, 16, 8, 2
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.zeros((b, n, h, s, d), jnp.float32)
+    rv = jnp.zeros((b, n, h, s, d), jnp.float32)
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=d ** -0.5,
+        block_q=16, block_k=16, interpret=True,
+    )
+    wk, wv = widen_kv(k_in, v_in, rk, rv)
+    ref = _xla_attention(q, wk, wv, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -46,11 +46,12 @@ def test_capture_kv_shapes(tiny_setup):
     )
     kvs = aux["kv"]
     assert len(kvs) == TINY.num_shared_attn_layers == 9
-    # traversal order: up block 1 (4x4 @ 64ch), up 2 (8x8 @ 64), up 3 (16x16 @ 32)
-    expected = [(16, 64)] * 3 + [(64, 64)] * 3 + [(256, 32)] * 3
-    for (k, v), (seq, inner) in zip(kvs, expected):
-        assert k.shape == (2, seq, inner)
-        assert v.shape == (2, seq, inner)
+    # traversal order: up block 1 (4x4 @ 64ch, 2 heads), up 2 (8x8 @ 64),
+    # up 3 (16x16 @ 32ch, 1 head); head-split layout [B, H, S, d]
+    expected = [(2, 16, 32)] * 3 + [(2, 64, 32)] * 3 + [(1, 256, 32)] * 3
+    for (k, v), (h, seq, d) in zip(kvs, expected):
+        assert k.shape == (2, h, seq, d)
+        assert v.shape == (2, h, seq, d)
 
 
 def test_ref_kv_injection_changes_output(tiny_setup):
