@@ -1,0 +1,345 @@
+"""Datasets: identity-folder face-restoration data, host-side, numpy NHWC.
+
+Re-specifies the reference's data layer (restore_dataset.py, plus the
+missing-source ``CoachDataset``/``PathsDataset`` described in SURVEY.md §2.5)
+without torch:
+
+* ``RestoreDataset``   — train: <root>/<identity>/cropped_images/*, paired
+  geometric/color transforms, on-the-fly degradation, 1..N same-identity
+  reference sampling padded to N (restore_dataset.py:408-445), optional
+  landmark-attention targets / pos-neg reference swaps / facial-component
+  masks.
+* ``RestoreDatasetTest`` — val: <root>/<identity>/{degraded.png, gt.png,
+  conditioning/*} (restore_dataset.py:447-569).
+* ``collate``          — stacks to the batch schema the train step consumes
+  (conditioning padded to max N + valid_indices, restore_dataset.py:572-628).
+
+Batch schema (numpy float32, NHWC, images in [-1, 1]):
+  image [B,512,512,3], gt [B,512,512,3], conditioning_images [B,N,512,512,3],
+  valid_indices [B] int32, and optional training extras.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from instantrestore_tpu.data import degradations as deg
+from instantrestore_tpu.data.transforms import (
+    PairedTestTransform,
+    PairedTrainTransform,
+    infer_transform,
+    normalize_pm1,
+    to_float01,
+)
+
+IMAGE_SUFFIXES = (".jpg", ".png", ".jpeg")
+
+# (heads, spatial size) of the 9 shared self-attention layers in traversal
+# order (restore_dataset.py:71-75)
+SHARED_LAYER_STATS = [(20, 16)] * 3 + [(10, 32)] * 3 + [(5, 64)] * 3
+
+PROMPT = "A high-quality photo of a person; professional, 8k"
+
+
+class CoachDataset:
+    """Base dataset (re-specified from the missing coach_dataset.py):
+    ordered path list + shuffle + len."""
+
+    def __init__(self):
+        self.paths: List[Path] = []
+
+    def __len__(self):
+        return len(self.paths)
+
+    def shuffle(self, seed: Optional[int] = None):
+        random.Random(seed).shuffle(self.paths)
+
+
+class PathsDataset(CoachDataset):
+    """Trivial path-list dataset (missing paths_dataset.py equivalent)."""
+
+    def __init__(self, image_paths: Sequence, resolution: int = 512):
+        super().__init__()
+        self.paths = [Path(p) for p in image_paths]
+        self.resolution = resolution
+
+    def __getitem__(self, idx):
+        return infer_transform(Image.open(self.paths[idx]), self.resolution)
+
+
+class RestoreDataset(CoachDataset):
+    def __init__(
+        self,
+        dataset_folder,
+        identity_names: Optional[Sequence[str]] = None,
+        max_conditioning_images: int = 4,
+        resolution: int = 512,
+        train_input: bool = True,
+        get_gt_attn_probs: bool = False,
+        get_attn_pos_reg: bool = False,
+        get_attn_neg_reg: bool = False,
+        get_facial_comps: bool = False,
+        return_degradation_params: bool = False,
+        seed: int = 0,
+    ):
+        super().__init__()
+        folders = dataset_folder if isinstance(dataset_folder, (list, tuple)) else [dataset_folder]
+        self.resolution = resolution
+        self.max_cond = max_conditioning_images
+        self.train_input = train_input
+        self.get_gt_attn_probs = get_gt_attn_probs
+        self.get_attn_pos_reg = get_attn_pos_reg
+        self.get_attn_neg_reg = get_attn_neg_reg
+        self.get_facial_comps = get_facial_comps
+        self.return_degradation_params = return_degradation_params
+        self.joined = PairedTrainTransform(resolution)
+        self._seed = seed
+
+        self.identity_dirs: List[Path] = []
+        for folder in folders:
+            folder = Path(folder)
+            for identity in sorted(folder.glob("*")):
+                imgs_dir = identity / "cropped_images"
+                if not identity.is_dir():
+                    continue
+                imgs = list(imgs_dir.glob("*"))
+                if len(imgs) <= 1:
+                    continue
+                if get_gt_attn_probs and len(list(identity.glob("new_landmarks/*"))) <= 1:
+                    continue
+                self.identity_dirs.append(identity)
+
+        self.paths = []
+        for identity in self.identity_dirs:
+            self.paths += [
+                p for p in sorted((identity / "cropped_images").glob("*"))
+                if p.suffix.lower() in IMAGE_SUFFIXES
+            ]
+
+    # -- reference sampling (restore_dataset.py:408-445) --------------------
+
+    def _sample_refs(self, identity_dir: Path, target: Path, rng: random.Random):
+        pool = [
+            p for p in sorted((identity_dir / "cropped_images").glob("*"))
+            if p != target and p.suffix.lower() in IMAGE_SUFFIXES
+        ]
+        n = min(len(pool), rng.randint(1, self.max_cond))
+        chosen = rng.sample(pool, n)
+        images = [Image.open(p).convert("RGB") for p in chosen]
+        paths = list(chosen)
+        # pad to max by cyclic duplication (the reference's train-time pad
+        # constructs a flip transform with p=0.0, i.e. plain duplicates;
+        # the test dataset uses p=1.0 — we mirror each behavior)
+        full_images, full_paths = list(images), list(paths)
+        for i in range(self.max_cond - len(images)):
+            idx = i % len(images)
+            full_images.append(images[idx])
+            full_paths.append(paths[idx])
+        return full_images, full_paths, n
+
+    # -- landmark-attention targets (restore_dataset.py:266-328) ------------
+
+    def _landmarks(self, identity_dir: Path, image_path: Path) -> Optional[np.ndarray]:
+        f = identity_dir / "new_landmarks" / (image_path.stem + ".npy")
+        return np.load(f) if f.exists() else None
+
+    def _gt_attn_probs(self, identity_dir, image_path, cond_paths, layer, cond,
+                       rng: random.Random):
+        gt_lm = self._landmarks(identity_dir, image_path)
+        if gt_lm is None:
+            return None
+        if self.train_input and cond == 0:
+            cond_lm = gt_lm
+        else:
+            cp = cond_paths[cond - 1 if self.train_input else cond]
+            cond_lm = self._landmarks(identity_dir, cp)
+            if cond_lm is None:
+                return None
+        heads, size = SHARED_LAYER_STATS[layer]
+        factor = self.resolution // size
+        sigma = 0.03125 * size
+        xs = np.arange(size)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        attn = np.zeros((size * size, size * size), np.float32)
+        mask = np.zeros(size * size, bool)
+        for (x_up, y_up), (cx_up, cy_up) in zip(gt_lm, cond_lm):
+            x, y = int(x_up) // factor, int(y_up) // factor
+            cx, cy = int(cx_up) // factor, int(cy_up) // factor
+            if x >= size or y >= size or cx >= size or cy >= size:
+                continue
+            pos = y * size + x
+            g = np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2) / (2 * sigma ** 2))
+            attn[pos] += g.reshape(-1)
+            mask[pos] = True
+        return attn[None].repeat(heads, 0), mask, layer, cond
+
+    # -- facial component masks (restore_dataset.py:233-263) ----------------
+
+    def _facial_comps(self, identity_dir, image_path):
+        lm = self._landmarks(identity_dir, image_path)
+        if lm is None:
+            return None
+        res = self.resolution
+
+        def rect(cx, cy, dx0, dy0, dx1, dy1):
+            m = np.zeros((res, res), bool)
+            x0, x1 = np.clip([cx + dx0, cx + dx1], 0, res)
+            y0, y1 = np.clip([cy + dy0, cy + dy1], 0, res)
+            m[y0:y1, x0:x1] = True
+            return m
+
+        lx, ly = int(lm[626][0]), int(lm[626][1])
+        rx, ry = int(lm[590][0]), int(lm[590][1])
+        mx, my = int(lm[0][0]), int(lm[0][1])
+        return (
+            rect(lx, ly, -50, -50, 51, 21),
+            rect(rx, ry, -50, -50, 51, 21),
+            rect(mx, my, -80, -30, 81, 61),
+        )
+
+    # -----------------------------------------------------------------------
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        path = self.paths[idx]
+        identity_dir = path.parent.parent
+        rng = random.Random(hash((self._seed, idx, path.name)) & 0x7FFFFFFF)
+        nprng = np.random.default_rng(rng.randint(0, 2**31 - 1))
+
+        img = Image.open(path).convert("RGB")
+        inp, out = self.joined(img, img.copy(), rng)
+
+        params = deg.sample_degradation_params(nprng)
+        degraded = deg.degrade(to_float01(inp), params, resolution=self.resolution)
+
+        refs, ref_paths, n_valid = self._sample_refs(identity_dir, path, rng)
+
+        pos_idx = -1
+        if self.get_attn_pos_reg and rng.random() < 0.25:
+            pos_idx = rng.randint(0, len(refs) - 1)
+            refs[pos_idx] = Image.open(path).convert("RGB")
+        neg_idx = -1
+        if self.get_attn_neg_reg and rng.random() < 0.25:
+            other = rng.randrange(len(self.identity_dirs))
+            if self.identity_dirs[other] == identity_dir:
+                other = len(self.identity_dirs) - 1 - other
+            neg_pool = [
+                p for p in sorted((self.identity_dirs[other] / "cropped_images").glob("*"))
+                if p.suffix.lower() in IMAGE_SUFFIXES
+            ]
+            neg_idx = rng.randint(0, len(refs) - 1)
+            if neg_idx == pos_idx:
+                neg_idx = len(refs) - 1 - pos_idx
+            refs[neg_idx] = Image.open(rng.choice(neg_pool)).convert("RGB")
+
+        cond = np.stack([infer_transform(r, self.resolution) for r in refs])
+
+        item: Dict[str, Any] = {
+            "image": normalize_pm1(degraded).astype(np.float32),
+            "gt": normalize_pm1(to_float01(out)).astype(np.float32),
+            "conditioning_images": cond.astype(np.float32),
+            "valid_indices": np.int32(n_valid),
+            "caption": PROMPT,
+            "pos_reg_idx": np.int32(pos_idx),
+            "neg_reg_idx": np.int32(neg_idx),
+        }
+        if self.return_degradation_params:
+            item["degradation_params"] = params
+        if self.get_gt_attn_probs:
+            layer = rng.randint(0, 8)
+            cond_max = self.max_cond if self.train_input else self.max_cond - 1
+            chosen_cond = rng.randint(0, cond_max)
+            item["gt_attn_probs"] = self._gt_attn_probs(
+                identity_dir, path, ref_paths, layer, chosen_cond, rng
+            )
+        if self.get_facial_comps:
+            item["facial_comps"] = self._facial_comps(identity_dir, path)
+        return item
+
+
+class RestoreDatasetTest(CoachDataset):
+    """Validation/inference layout: <identity>/{degraded.png, gt.png,
+    conditioning/*} (restore_dataset.py:447-569); refs padded with
+    horizontally-flipped duplicates (test pads flip, :560-566)."""
+
+    def __init__(self, dataset_folder, max_conditioning_images: int = 4,
+                 resolution: int = 512):
+        super().__init__()
+        folders = dataset_folder if isinstance(dataset_folder, (list, tuple)) else [dataset_folder]
+        self.resolution = resolution
+        self.max_cond = max_conditioning_images
+        self.joined = PairedTestTransform(resolution)
+        self.paths = []
+        for folder in folders:
+            for identity in sorted(Path(folder).glob("*")):
+                if identity.is_dir() and (identity / "degraded.png").exists():
+                    self.paths.append(identity)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        identity = self.paths[idx]
+        degraded = Image.open(identity / "degraded.png").convert("RGB")
+        gt_path = identity / "gt.png"
+        gt = Image.open(gt_path).convert("RGB") if gt_path.exists() else degraded
+        degraded, gt = self.joined(degraded, gt)
+
+        pool = [
+            p for p in sorted((identity / "conditioning").glob("*"))
+            if p.suffix.lower() in IMAGE_SUFFIXES
+        ]
+        refs = [Image.open(p).convert("RGB") for p in pool[: self.max_cond]]
+        n_valid = len(refs)
+        for i in range(self.max_cond - n_valid):
+            src = refs[i % n_valid]
+            refs.append(
+                src.transpose(Image.FLIP_LEFT_RIGHT) if i % 2 == 0 else src.copy()
+            )
+        cond = np.stack([infer_transform(r, self.resolution) for r in refs])
+        return {
+            "image": normalize_pm1(to_float01(degraded)).astype(np.float32),
+            "gt": normalize_pm1(to_float01(gt)).astype(np.float32),
+            "conditioning_images": cond.astype(np.float32),
+            "valid_indices": np.int32(n_valid),
+            "caption": PROMPT,
+            "identity": identity.name,
+        }
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of items to the batch schema (custom_collate_fn twin)."""
+    batch: Dict[str, Any] = {
+        "image": np.stack([it["image"] for it in items]),
+        "gt": np.stack([it["gt"] for it in items]),
+        "conditioning_images": np.stack([it["conditioning_images"] for it in items]),
+        "valid_indices": np.asarray([it["valid_indices"] for it in items], np.int32),
+        "caption": [it["caption"] for it in items],
+    }
+    if "pos_reg_idx" in items[0]:
+        batch["pos_reg_idx"] = np.asarray([it["pos_reg_idx"] for it in items], np.int32)
+        batch["neg_reg_idx"] = np.asarray([it["neg_reg_idx"] for it in items], np.int32)
+    if items[0].get("gt_attn_probs") is not None:
+        probs, masks, layers, conds = [], [], [], []
+        for it in items:
+            entry = it["gt_attn_probs"]
+            if entry is None:
+                continue
+            p, m, l, c = entry
+            probs.append(p)
+            masks.append(m)
+            layers.append(l)
+            conds.append(c)
+        if probs and len(probs) == len(items):
+            batch["gt_attn_probs"] = (probs, masks, layers, conds)
+    if items[0].get("facial_comps") is not None:
+        comps = [it["facial_comps"] for it in items]
+        if all(c is not None for c in comps):
+            batch["facial_comps"] = tuple(
+                np.stack([c[k] for c in comps]) for k in range(3)
+            )
+    if "identity" in items[0]:
+        batch["identity"] = [it["identity"] for it in items]
+    return batch

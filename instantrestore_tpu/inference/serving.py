@@ -1,0 +1,112 @@
+"""Batched multi-identity serving (the BASELINE.json "16 identities/batch,
+fused preprocessing + VAE + UNet, continuous throughput" configuration).
+
+Production design beyond the reference: the reference's Predictor re-encodes
+the 4 reference images through the frozen VAE+UNet on EVERY predict call
+(inference/test.py:79-111 -> pix2pix_turbo.py:242-279) — ~4/5 of the serving
+FLOPs for a fixed identity. Here identities are onboarded once
+(``onboard_identities``: refs -> shared-attention K/V pytree) and steady-state
+restores run one VAE encode + one shared-attention UNet + one VAE decode,
+gathering the cached K/V by identity index. Both paths are one compiled XLA
+program each; the cold full pipeline stays available via
+``Predictor``/``restore_forward``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instantrestore_tpu.models.restorer import (
+    RestorerStatics,
+    get_conditioning_kv,
+    restore_forward,
+)
+from instantrestore_tpu.models import scheduler as sched
+
+
+class ServingEngine:
+    """Identity-cached batched restoration on one chip (or a data mesh).
+
+    Usage:
+        eng = ServingEngine(params, statics, batch_size=16)
+        eng.onboard(identity_refs)            # [I, N, H, W, 3] once
+        out = eng.restore(images, identity_ids, rng)   # [B,H,W,3], [B]
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        statics: RestorerStatics,
+        *,
+        use_fused_attention: bool = True,
+        timestep: int = 249,
+        donate_cache: bool = False,
+    ):
+        self.params = params
+        self.statics = statics
+        self.timestep = timestep
+        self.kv_cache: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None
+
+        abar = sched.make_alphas_cumprod()
+
+        @jax.jit
+        def _onboard(params, refs, rng):
+            i, n = refs.shape[:2]
+            valid = jnp.full((i,), n, jnp.int32)
+            kv, _ = get_conditioning_kv(
+                params, refs, valid, rng, statics=statics, alphas_cumprod=abar
+            )
+            return kv
+
+        @functools.partial(jax.jit, static_argnames=("fused",))
+        def _restore(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
+            # gather each sample's identity KV: [I,N,H,S,d] -> [B,N,H,S,d]
+            ref_kv = [
+                (k[identity_ids], v[identity_ids]) for k, v in kv_cache
+            ]
+            out = restore_forward(
+                params,
+                images,
+                rng=rng,
+                statics=statics,
+                timestep=timestep,
+                precomputed_ref_kv=ref_kv,
+                use_fused_attention=fused,
+            )
+            return out["output_image"]
+
+        self._onboard = _onboard
+        self._restore = _restore
+
+    def onboard(self, identity_refs: jnp.ndarray, rng: Optional[jax.Array] = None):
+        """identity_refs [I, N, H, W, 3] in [-1,1] -> warm KV cache."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.kv_cache = self._onboard(self.params, identity_refs, rng)
+        return self.kv_cache
+
+    def restore(
+        self, images: jnp.ndarray, identity_ids: jnp.ndarray, rng: jax.Array
+    ) -> jnp.ndarray:
+        if self.kv_cache is None:
+            raise RuntimeError("call onboard() first")
+        return self._restore(self.params, images, self.kv_cache, identity_ids, rng)
+
+    def restore_cold(
+        self, images: jnp.ndarray, cond_images: jnp.ndarray, rng: jax.Array
+    ) -> jnp.ndarray:
+        """Full reference-parity path: re-encode refs every call."""
+        out = restore_forward(
+            self.params,
+            images,
+            cond_images,
+            rng=rng,
+            statics=self.statics,
+            timestep=self.timestep,
+            use_fused_attention=True,
+        )
+        return out["output_image"]

@@ -227,6 +227,7 @@ def restore_forward(
     decode_conditions: bool = False,
     save_attn_probs: bool = False,
     use_fused_attention: bool = False,
+    precomputed_ref_kv=None,
 ) -> Dict[str, Any]:
     """Full restoration forward.
 
@@ -259,9 +260,12 @@ def restore_forward(
     )
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
 
-    # 2. shared-attention K/V from the reference images
+    # 2. shared-attention K/V from the reference images (or a warm identity
+    #    KV cache in batched serving — see inference/serving.py)
     ref_kv, decoded_conds = None, None
-    if cond_images is not None and statics.use_shared_attention:
+    if precomputed_ref_kv is not None:
+        ref_kv = precomputed_ref_kv
+    elif cond_images is not None and statics.use_shared_attention:
         if valid_indices is None:
             valid_indices = jnp.full((b,), cond_images.shape[1], jnp.int32)
         ref_kv, decoded_conds = get_conditioning_kv(

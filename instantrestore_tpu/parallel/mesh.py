@@ -1,0 +1,61 @@
+"""Device mesh + sharding layout for InstantRestore-TPU.
+
+The reference's entire distributed story is data parallelism via HF
+Accelerate/DDP over NCCL (SURVEY.md §2.6; coach.py:52-61,112-129). The
+TPU-native equivalent is one SPMD program over a ``jax.sharding.Mesh``:
+
+* axis ``data``  — batch sharding (DP). Gradient all-reduce emerges from the
+  sharding propagation of pjit; no collectives are written by hand.
+* axis ``ref``   — optional second axis for serving: the (1+N_ref) VAE/UNet
+  capture batch dimension shards across chips so one restore's reference
+  encodes ride ICI in parallel (an extension beyond the reference, which has
+  no model/sequence parallelism to port — its max sequence is 4096 queries).
+
+Parameters are replicated (the UNet is 0.9 B params — fits every chip), the
+batch dimension of every input/activation is sharded on ``data``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    mesh_shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+) -> Mesh:
+    """1-axis data mesh by default; pass mesh_shape/axis_names for more."""
+    devices = list(devices if devices is not None else jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(tuple(mesh_shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 0 on the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = DATA_AXIS) -> Any:
+    """Device-put a pytree of host arrays with dim-0 sharded on ``axis``."""
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_params(mesh: Mesh, params: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), params)
