@@ -1,0 +1,182 @@
+"""Predictor — the single/batch inference surface.
+
+API twin of /root/reference/face_replace/inference/test.py (Predictor) and
+the prediction core of gradio_demo.py: load a checkpoint (reference ``.pt``
+via the converter, or a native orbax directory), preprocess with
+LANCZOS-resize/512-crop/[-1,1] normalize (test.py:54-59), run ONE restoration
+forward at timestep 249 with 4 references (test.py:62,79-111), and optionally
+report the per-reference attention-mass percentages aggregated over the 9
+shared layers (gradio_demo.py:119-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from instantrestore_tpu.data.transforms import denormalize_pm1, infer_transform
+from instantrestore_tpu.models.restorer import RestorerStatics, restore_forward
+
+
+def attention_mass_percentages(
+    attn_probs: Sequence[jnp.ndarray], n_refs: int = 4, train_input: bool = False
+) -> List[float]:
+    """gradio_demo.py:119-133: per-reference mean attention mass summed over
+    the 9 shared layers, normalized to percentages.
+
+    The demo indexes segments 0..3 directly (the shipped final model runs
+    refs-only, so segments == references); with train_input the first
+    segment is the input image and is skipped here to keep the reported
+    numbers about the references.
+    """
+    means = np.zeros(n_refs)
+    for probs in attn_probs:
+        probs = np.asarray(probs, np.float32)
+        q = probs.shape[2]
+        offset = 1 if train_input else 0
+        for ref_idx in range(n_refs):
+            seg = probs[:, :, :, q * (ref_idx + offset) : q * (ref_idx + offset + 1)]
+            means[ref_idx] += seg.mean()
+    total = means.sum()
+    normalized = [round(float(m / total) * 100, 3) for m in means]
+    normalized[-1] = round(100 - sum(normalized[:-1]), 3)
+    return normalized
+
+
+class Predictor:
+    """Loads weights once, compiles the forward once, restores many."""
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        statics: Optional[RestorerStatics] = None,
+        noise_timestep: int = 249,
+        dtype=jnp.bfloat16,
+        use_fused_attention: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        if params is None:
+            if checkpoint_path is None:
+                raise ValueError("need checkpoint_path or params")
+            params, statics = load_predictor_params(checkpoint_path, statics)
+        self.statics = statics or RestorerStatics()
+        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        self.noise_timestep = noise_timestep
+        self.rng = jax.random.PRNGKey(seed)
+        if use_fused_attention is None:
+            use_fused_attention = jax.default_backend() == "tpu"
+        self._fused = use_fused_attention
+
+        def fwd(params, image, conds, valid, rng, save_attn):
+            out = restore_forward(
+                params, image, conds, valid, rng=rng,
+                statics=self.statics,
+                timestep=self.noise_timestep,
+                save_attn_probs=save_attn,
+                use_fused_attention=self._fused and not save_attn,
+            )
+            return out
+
+        self._fwd = jax.jit(fwd, static_argnames=("save_attn",))
+
+    # -- preprocessing (test.py:54-59) ----------------------------------
+
+    @staticmethod
+    def prepare_image(img: Image.Image, resolution: int = 512) -> np.ndarray:
+        return infer_transform(img, resolution)
+
+    def prepare_conditioning_images(
+        self, cond_imgs: Sequence[Image.Image], max_refs: int = 4, resolution: int = 512
+    ) -> Tuple[np.ndarray, int]:
+        refs = [self.prepare_image(im, resolution) for im in cond_imgs[:max_refs]]
+        n_valid = len(refs)
+        for i in range(max_refs - n_valid):
+            refs.append(refs[i % n_valid][:, ::-1] if i % 2 == 0 else refs[i % n_valid])
+        return np.stack(refs), n_valid
+
+    # -- prediction ------------------------------------------------------
+
+    def predict(
+        self,
+        input_img: Image.Image,
+        cond_imgs: Sequence[Image.Image],
+        *,
+        return_attention: bool = False,
+    ):
+        """One restoration. Returns (PIL image, attention percentages|None)."""
+        image = jnp.asarray(self.prepare_image(input_img))[None]
+        conds, n_valid = self.prepare_conditioning_images(cond_imgs)
+        # the reference Predictor always claims 4 valid refs after padding
+        # (test.py:96: valid_indices = 4)
+        valid = jnp.full((1,), conds.shape[0], jnp.int32)
+        self.rng, r = jax.random.split(self.rng)
+        out = self._fwd(
+            self.params, image, jnp.asarray(conds)[None], valid, r, return_attention
+        )
+        pred = np.asarray(out["output_image"][0], np.float32)
+        pil = Image.fromarray((denormalize_pm1(pred) * 255).astype(np.uint8))
+        attn = None
+        if return_attention:
+            attn = attention_mass_percentages(
+                out["attn_probs"], n_refs=conds.shape[0],
+                train_input=self.statics.train_input,
+            )
+        return pil, attn
+
+    def predict_batch(self, images: np.ndarray, conds: np.ndarray,
+                      valid: Optional[np.ndarray] = None) -> np.ndarray:
+        """Array-in/array-out batched restore ([B,512,512,3] in [-1,1])."""
+        if valid is None:
+            valid = np.full((images.shape[0],), conds.shape[1], np.int32)
+        self.rng, r = jax.random.split(self.rng)
+        out = self._fwd(
+            self.params, jnp.asarray(images), jnp.asarray(conds),
+            jnp.asarray(valid), r, False,
+        )
+        return np.asarray(out["output_image"])
+
+    def run_directory(self, data_root: str, results_dir: str = "results",
+                      max_refs: int = 4):
+        """__main__ loop twin (test.py:165-187): iterate identity dirs with
+        {degraded.png, conditioning/*}, write results/<identity>.png."""
+        root = Path(data_root)
+        out_dir = Path(results_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for identity in sorted(p for p in root.glob("*") if p.is_dir()):
+            degraded = identity / "degraded.png"
+            if not degraded.exists():
+                continue
+            conds = [
+                Image.open(p).convert("RGB")
+                for p in sorted((identity / "conditioning").glob("*"))
+            ][:max_refs]
+            pred, _ = self.predict(Image.open(degraded).convert("RGB"), conds)
+            pred.save(out_dir / f"{identity.name}.png")
+
+
+def load_predictor_params(checkpoint_path: str, statics: Optional[RestorerStatics]):
+    """Reference .pt or native orbax checkpoint -> (params, statics)."""
+    path = Path(checkpoint_path)
+    if path.is_file() and path.suffix in (".pt", ".pth", ".ckpt", ".bin"):
+        from instantrestore_tpu.training.checkpoints import import_reference_checkpoint
+        from instantrestore_tpu.configs.config import ModelConfig, _decode_section
+
+        imported = import_reference_checkpoint(str(path))
+        bundle = imported["bundle"]
+        if statics is None:
+            cfg_dict = imported["meta"].get("cfg") or {}
+            model_cfg = _decode_section(ModelConfig, cfg_dict.get("model", {}))
+            statics = RestorerStatics.from_model_config(model_cfg)
+        return bundle, statics
+    from instantrestore_tpu.training.checkpoints import load_checkpoint
+
+    loaded = load_checkpoint(str(path))
+    return loaded["state"]["params"], statics

@@ -56,12 +56,25 @@ class ServingEngine:
 
         @jax.jit
         def _onboard(params, refs, rng):
+            # one identity at a time (lax.map = compiled once, executed I
+            # times): onboarding is amortized, and a flat [I*N, 512, 512]
+            # VAE encode would blow HBM at I=16 (fp32 GN temps)
             i, n = refs.shape[:2]
-            valid = jnp.full((i,), n, jnp.int32)
-            kv, _ = get_conditioning_kv(
-                params, refs, valid, rng, statics=statics, alphas_cumprod=abar
-            )
-            return kv
+
+            def one(args):
+                ref_i, rng_i = args
+                kv, _ = get_conditioning_kv(
+                    params,
+                    ref_i[None],
+                    jnp.full((1,), n, jnp.int32),
+                    rng_i,
+                    statics=statics,
+                    alphas_cumprod=abar,
+                    use_fused_attention=use_fused_attention,
+                )
+                return [(k[0], v[0]) for k, v in kv]
+
+            return jax.lax.map(one, (refs, jax.random.split(rng, i)))
 
         @functools.partial(jax.jit, static_argnames=("fused",))
         def _restore(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
@@ -80,8 +93,22 @@ class ServingEngine:
             )
             return out["output_image"]
 
+        @jax.jit
+        def _restore_cold(params, images, cond_images, rng):
+            out = restore_forward(
+                params,
+                images,
+                cond_images,
+                rng=rng,
+                statics=statics,
+                timestep=timestep,
+                use_fused_attention=use_fused_attention,
+            )
+            return out["output_image"]
+
         self._onboard = _onboard
         self._restore = _restore
+        self._restore_cold = _restore_cold
 
     def onboard(self, identity_refs: jnp.ndarray, rng: Optional[jax.Array] = None):
         """identity_refs [I, N, H, W, 3] in [-1,1] -> warm KV cache."""
@@ -99,14 +126,5 @@ class ServingEngine:
     def restore_cold(
         self, images: jnp.ndarray, cond_images: jnp.ndarray, rng: jax.Array
     ) -> jnp.ndarray:
-        """Full reference-parity path: re-encode refs every call."""
-        out = restore_forward(
-            self.params,
-            images,
-            cond_images,
-            rng=rng,
-            statics=self.statics,
-            timestep=self.timestep,
-            use_fused_attention=True,
-        )
-        return out["output_image"]
+        """Full reference-parity path: re-encode refs every call (compiled)."""
+        return self._restore_cold(self.params, images, cond_images, rng)

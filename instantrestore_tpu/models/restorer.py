@@ -172,6 +172,7 @@ def get_conditioning_kv(
     alphas_cumprod: jnp.ndarray,
     sample_posterior: bool = True,
     decode_conditions: bool = False,
+    use_fused_attention: bool = False,
 ):
     """Reference branch: extract shared-attention K/V from the N conditioning
     images (pix2pix_turbo.py:242-279)."""
@@ -184,7 +185,8 @@ def get_conditioning_kv(
     sf = statics.vae_cfg.scaling_factor
 
     mean, logvar, _ = vae_encode(
-        ovae, flat, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype
+        ovae, flat, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype,
+        use_fused_attention=use_fused_attention,
     )
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
     t1 = jnp.full((b * n,), COND_TIMESTEP, jnp.int32)
@@ -199,6 +201,7 @@ def get_conditioning_kv(
         caption,
         cfg=statics.unet_cfg,
         capture_kv=True,
+        use_fused_attention=use_fused_attention,
         compute_dtype=statics.compute_dtype,
     )
     ref_kv = mask_ref_kv(aux["kv"], valid_indices, b, n)
@@ -207,7 +210,8 @@ def get_conditioning_kv(
     if decode_conditions:
         x0 = sched.pred_original_sample(alphas_cumprod, eps, zt, t1)
         decoded = jnp.clip(
-            vae_decode(ovae, x0 / sf, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype),
+            vae_decode(ovae, x0 / sf, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype,
+                       use_fused_attention=use_fused_attention),
             -1.0,
             1.0,
         ).reshape(b, n, *cond_images.shape[2:])
@@ -257,6 +261,7 @@ def restore_forward(
         cfg=statics.vae_cfg,
         lora_scaling=statics.vae_lora_scaling,
         compute_dtype=statics.compute_dtype,
+        use_fused_attention=use_fused_attention,
     )
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
 
@@ -277,6 +282,7 @@ def restore_forward(
             alphas_cumprod=abar,
             sample_posterior=sample_posterior,
             decode_conditions=decode_conditions,
+            use_fused_attention=use_fused_attention,
         )
 
     # 3. forward-diffuse the input latent
@@ -316,6 +322,7 @@ def restore_forward(
         gamma=1.0,
         lora_scaling=statics.vae_lora_scaling,
         compute_dtype=statics.compute_dtype,
+        use_fused_attention=use_fused_attention,
     )
     result = {
         "output_image": jnp.clip(out, -1.0, 1.0),

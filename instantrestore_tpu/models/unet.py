@@ -357,6 +357,11 @@ def unet_apply(
 
     x = conv2d(params["conv_in"], x, lora_scaling=lora_scaling)
 
+    # plain (non-shared) self-attentions still want the fused kernel — the
+    # 64x64 down-block attention would otherwise materialize [B,5,4096,4096]
+    # probabilities in HBM
+    plain = {"use_fused": use_fused_attention}
+
     # ---- down path ----
     skips = [x]
     for i, (btype, bp) in enumerate(zip(cfg.down_block_types, params["down_blocks"])):
@@ -366,7 +371,7 @@ def unet_apply(
             if btype == "CrossAttnDownBlock2D":
                 x, _ = _transformer(
                     bp["attentions"][j], x, temb, ctx, cfg=cfg, heads=heads,
-                    lora_scaling=lora_scaling,
+                    lora_scaling=lora_scaling, shared=plain,
                 )
             skips.append(x)
         if "downsamplers" in bp:
@@ -378,7 +383,7 @@ def unet_apply(
     x = _resnet(mp["resnets"][0], x, temb, cfg=cfg, lora_scaling=lora_scaling)
     x, _ = _transformer(
         mp["attentions"][0], x, temb, ctx, cfg=cfg, heads=cfg.attention_heads[-1],
-        lora_scaling=lora_scaling,
+        lora_scaling=lora_scaling, shared=plain,
     )
     x = _resnet(mp["resnets"][1], x, temb, cfg=cfg, lora_scaling=lora_scaling)
 

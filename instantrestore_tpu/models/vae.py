@@ -160,11 +160,13 @@ def _resnet(p, x, *, cfg: VAEConfig, lora_scaling: float):
     return x + h
 
 
-def _attn(p, x, *, cfg: VAEConfig, lora_scaling: float):
+def _attn(p, x, *, cfg: VAEConfig, lora_scaling: float, use_fused: bool = False):
     """Single-head full-width attention of the VAE mid block.
 
     diffusers Attention(heads=1, dim_head=C, residual_connection=True,
-    bias=True, upcast_softmax=True); softmax in fp32.
+    bias=True, upcast_softmax=True); softmax in fp32. At 512px the 64x64
+    latent gives [B, 4096, 4096] logits — the fused flash kernel keeps them
+    in VMEM on TPU.
     """
     b, h_, w_, c = x.shape
     residual = x
@@ -174,17 +176,22 @@ def _attn(p, x, *, cfg: VAEConfig, lora_scaling: float):
     k = dense(p["to_k"], tokens, lora_scaling=lora_scaling)
     v = dense(p["to_v"], tokens, lora_scaling=lora_scaling)
     scale = c ** -0.5
-    logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if use_fused:
+        from instantrestore_tpu.ops.shared_attention import flash_attention
+
+        out = flash_attention(q[:, None], k[:, None], v[:, None], scale=scale)[:, 0]
+    else:
+        logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = dense(p["to_out"], out, lora_scaling=lora_scaling)
     return out.reshape(b, h_, w_, c) + residual
 
 
-def _mid(p, x, *, cfg: VAEConfig, lora_scaling: float):
+def _mid(p, x, *, cfg: VAEConfig, lora_scaling: float, use_fused: bool = False):
     x = _resnet(p["resnets"][0], x, cfg=cfg, lora_scaling=lora_scaling)
-    x = _attn(p["attentions"][0], x, cfg=cfg, lora_scaling=lora_scaling)
+    x = _attn(p["attentions"][0], x, cfg=cfg, lora_scaling=lora_scaling, use_fused=use_fused)
     x = _resnet(p["resnets"][1], x, cfg=cfg, lora_scaling=lora_scaling)
     return x
 
@@ -196,6 +203,7 @@ def vae_encode(
     cfg: VAEConfig = VAEConfig(),
     lora_scaling: float = 1.0,
     compute_dtype=jnp.bfloat16,
+    use_fused_attention: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, List[jnp.ndarray]]:
     """images [B, H, W, 3] in [-1, 1] -> (mean, logvar, down_block_acts).
 
@@ -218,7 +226,8 @@ def vae_encode(
             x = conv2d(block["downsamplers"][0]["conv"], x, stride=2, padding=0,
                        lora_scaling=lora_scaling)
 
-    x = _mid(p["mid_block"], x, cfg=cfg, lora_scaling=lora_scaling)
+    x = _mid(p["mid_block"], x, cfg=cfg, lora_scaling=lora_scaling,
+             use_fused=use_fused_attention)
     x = group_norm(p["conv_norm_out"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
     x = silu(x)
     x = conv2d(p["conv_out"], x, lora_scaling=lora_scaling)
@@ -251,6 +260,7 @@ def vae_decode(
     gamma: float = 1.0,
     lora_scaling: float = 1.0,
     compute_dtype=jnp.bfloat16,
+    use_fused_attention: bool = False,
 ) -> jnp.ndarray:
     """latents [B, h, w, 4] (already divided by scaling_factor) -> images.
 
@@ -262,7 +272,8 @@ def vae_decode(
     x = latents.astype(compute_dtype)
     x = conv2d(params["post_quant_conv"], x, padding=0, lora_scaling=lora_scaling)
     x = conv2d(p["conv_in"], x, lora_scaling=lora_scaling)
-    x = _mid(p["mid_block"], x, cfg=cfg, lora_scaling=lora_scaling)
+    x = _mid(p["mid_block"], x, cfg=cfg, lora_scaling=lora_scaling,
+             use_fused=use_fused_attention)
 
     use_skips = skip_acts is not None and "skip_conv_1" in p
     for i, block in enumerate(p["up_blocks"]):

@@ -98,20 +98,40 @@ def conv2d(
 
 
 def group_norm(p: dict, x: jnp.ndarray, *, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over NHWC (or [..., C]) input; stats in fp32."""
+    """GroupNorm over NHWC (or [..., C]) input; statistics in fp32.
+
+    fp32 inputs use the exact two-pass formula. For reduced-precision inputs
+    (bf16 serving) the normalization is refactored to ``x * a + b`` with
+    per-(batch, channel) fp32 coefficients so no fp32 copy of the activation
+    is ever materialized — at 512x512x128 x batch 64 that copy alone is
+    8.6 GB, more than half the chip's HBM.
+    """
     orig_dtype = x.dtype
     c = x.shape[-1]
     g = num_groups
-    xf = x.astype(jnp.float32)
-    shape = x.shape[:-1] + (g, c // g)
-    xg = xf.reshape(x.shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(x.shape)
-    del shape
-    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    b = x.shape[0]
+    xg = x.reshape(b, -1, g, c // g)  # [B, spatial, G, C/G]
+
+    if orig_dtype == jnp.float32:
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        out = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+        return out * p["scale"] + p["bias"]
+
+    # memory-light path: fused fp32-accumulating reductions (the cast fuses
+    # into the reduce, no temp), then one low-precision elementwise pass.
+    xf32 = xg.astype(jnp.float32)
+    mean = jnp.mean(xf32, axis=(1, 3))  # [B, G]
+    m2 = jnp.mean(jnp.square(xf32), axis=(1, 3))
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # [B, G]
+    # per-channel coefficients: out = x * a + bcoef
+    inv_c = jnp.repeat(inv, c // g, axis=1)  # [B, C]
+    mean_c = jnp.repeat(mean, c // g, axis=1)
+    a = inv_c * p["scale"].astype(jnp.float32)[None, :]
+    bcoef = p["bias"].astype(jnp.float32)[None, :] - mean_c * a
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    return x * a.astype(orig_dtype).reshape(shape) + bcoef.astype(orig_dtype).reshape(shape)
 
 
 def layer_norm(p: dict, x: jnp.ndarray, *, eps: float = 1e-5) -> jnp.ndarray:

@@ -1,0 +1,376 @@
+"""Coach — the training runtime.
+
+SPMD twin of the reference trainer (/root/reference/face_replace/training/
+coach.py): GAN-style loop with a generator step (restore forward + composite
+loss + AdamW on the LoRA/conv_in/skip trainables) and a discriminator step
+(vision-aided D on real vs detached fake) per batch, gradient accumulation,
+interval-driven metric/image logging, validation with best-model selection,
+and resumable checkpoints.
+
+TPU-native differences:
+  * accelerate/DDP (coach.py:52-61,112-129) -> one jitted step per role over
+    a ``data``-axis mesh; the gradient all-reduce is implicit in sharding.
+  * the frozen backbones (LPIPS VGG / ArcFace / DINOv2) are param pytrees
+    passed into the jitted steps, not live modules.
+  * MTCNN-per-step face detection is replaced by dataset-supplied alignment
+    (or the whole-image fallback the reference uses when detection fails).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instantrestore_tpu.configs.config import TrainConfig, encode_config
+from instantrestore_tpu.data.datasets import RestoreDataset, RestoreDatasetTest
+from instantrestore_tpu.data.loader import DataLoader
+from instantrestore_tpu.models.lora import trainable_mask
+from instantrestore_tpu.models.restorer import (
+    RestorerStatics,
+    init_restorer_params,
+    restore_forward,
+)
+from instantrestore_tpu.models.vit import DINOV2_VITL14, init_vit_params
+from instantrestore_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
+from instantrestore_tpu.training import checkpoints as ckpt_mod
+from instantrestore_tpu.training.logging_utils import CoachLogger
+from instantrestore_tpu.training.losses import gan as gan_mod
+from instantrestore_tpu.training.losses.composite import compute_generator_loss
+from instantrestore_tpu.training.losses.lpips import init_lpips_params
+from instantrestore_tpu.training.optim import freeze_non_trainable, make_optimizer
+
+
+class Coach:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        *,
+        statics: Optional[RestorerStatics] = None,
+        params: Optional[Dict[str, Any]] = None,
+        lpips_params=None,
+        arcface_params=None,
+        disc_backbone=None,
+        vit_cfg=DINOV2_VITL14,
+        datasets=None,
+    ):
+        self.cfg = cfg
+        self.statics = statics or RestorerStatics.from_model_config(cfg.model)
+        self.vit_cfg = vit_cfg
+        self.logger = CoachLogger(cfg.log.exp_dir, use_tensorboard=cfg.log.log2wandb)
+        self.logger.log_config(encode_config(cfg))
+        self.device_count = jax.device_count()
+        self.mesh = make_mesh()
+        self.train_step_num = 0
+        self.best_val_loss = float("inf")
+
+        key = jax.random.PRNGKey(cfg.compute.seed)
+        if params is None:
+            if cfg.model.checkpoint_path:
+                imported = ckpt_mod.import_reference_checkpoint(cfg.model.checkpoint_path)
+                params = imported["bundle"]
+                self.logger.log_message(f"loaded checkpoint {cfg.model.checkpoint_path}")
+            else:
+                params = init_restorer_params(
+                    key,
+                    self.statics,
+                    lora_rank_unet=cfg.model.lora_rank_unet,
+                    lora_rank_vae=cfg.model.lora_rank_vae,
+                    train_vae=cfg.model.train_vae,
+                )
+        self.params = replicate_params(self.mesh, params)
+
+        # frozen aux nets (random-init when pretrained files are absent;
+        # converters in the respective modules load real weights)
+        self.lpips_params = lpips_params
+        if self.lpips_params is None and cfg.optim.lambda_lpips > 0:
+            self.lpips_params = init_lpips_params(jax.random.fold_in(key, 1))
+        self.arcface_params = arcface_params
+        self.disc_backbone = disc_backbone
+        self.disc_heads = None
+        if cfg.optim.lambda_gan > 0:
+            if self.disc_backbone is None:
+                self.disc_backbone = init_vit_params(jax.random.fold_in(key, 2), vit_cfg)
+            self.disc_heads = gan_mod.init_discriminator_heads(jax.random.fold_in(key, 3))
+
+        # trainable masks + optimizers (two AdamW like the reference,
+        # coach.py:444-489)
+        extra = ("conv_in",) if True else ()
+        self.g_mask = {
+            "unet": trainable_mask(params["unet"], extra_trainable=("conv_in",)),
+            "unet_orig_conv_in": trainable_mask(params["unet_orig_conv_in"]),
+            "vae": trainable_mask(
+                params["vae"],
+                extra_trainable=(
+                    ("skip_conv_1", "skip_conv_2", "skip_conv_3", "skip_conv_4")
+                    if cfg.model.use_shortcuts
+                    else ()
+                ),
+            ),
+            "caption_enc": False,
+        }
+        for k in params:
+            if k not in self.g_mask:
+                self.g_mask[k] = jax.tree_util.tree_map(lambda _: False, params[k])
+        g_opt = make_optimizer(cfg.optim, cfg.steps.max_steps, self.g_mask)
+        if cfg.optim.gradient_accumulation_steps > 1:
+            g_opt = optax.MultiSteps(g_opt, cfg.optim.gradient_accumulation_steps)
+        self.g_opt = g_opt
+        self.g_opt_state = jax.jit(self.g_opt.init)(self.params)
+
+        if self.disc_heads is not None:
+            self.d_mask = jax.tree_util.tree_map(lambda _: True, self.disc_heads)
+            self._set_u_untrainable(self.d_mask)
+            d_opt = make_optimizer(cfg.optim, cfg.steps.max_steps, self.d_mask)
+            if cfg.optim.gradient_accumulation_steps > 1:
+                d_opt = optax.MultiSteps(d_opt, cfg.optim.gradient_accumulation_steps)
+            self.d_opt = d_opt
+            self.d_opt_state = jax.jit(self.d_opt.init)(self.disc_heads)
+
+        # data
+        if datasets is not None:
+            self.train_dataset, self.test_dataset = datasets
+        else:
+            self.train_dataset, self.test_dataset = self._build_datasets()
+        if cfg.data.overfit:
+            self.logger.log_message("WARNING: Running in overfit mode!")
+            self.train_dataset.shuffle(cfg.compute.seed)
+            self.train_dataset.paths = self.train_dataset.paths[: cfg.compute.batch_size]
+            self.test_dataset = self.train_dataset
+        self.train_loader = DataLoader(
+            self.train_dataset,
+            cfg.compute.batch_size,
+            shuffle=not cfg.data.overfit,
+            num_workers=cfg.compute.workers,
+            seed=cfg.compute.seed,
+        )
+        self.test_loader = DataLoader(
+            self.test_dataset,
+            cfg.compute.test_batch_size,
+            shuffle=False,
+            num_workers=cfg.compute.test_workers,
+            drop_last=False,
+        )
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+
+    def _set_u_untrainable(self, mask_tree):
+        def walk(node):
+            if isinstance(node, dict):
+                for k in node:
+                    if k == "u":
+                        node[k] = False
+                    else:
+                        walk(node[k])
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(mask_tree)
+
+    def _build_datasets(self):
+        cfg = self.cfg
+        if cfg.data.dataset_type == "face_restore":
+            train = RestoreDataset(
+                cfg.data.data_root,
+                max_conditioning_images=cfg.data.max_conditioning_images,
+                resolution=cfg.data.resolution,
+                train_input=cfg.model.train_input,
+                get_gt_attn_probs=cfg.optim.lambda_landmark > 0,
+                get_attn_pos_reg=cfg.optim.lambda_pos_reg > 0,
+                get_attn_neg_reg=cfg.optim.lambda_neg_reg > 0,
+                get_facial_comps=cfg.optim.lambda_facial_comp > 0,
+                seed=cfg.compute.seed,
+            )
+            test = RestoreDatasetTest(
+                cfg.data.val_data_root,
+                max_conditioning_images=cfg.data.max_conditioning_images,
+                resolution=cfg.data.resolution,
+            )
+            return train, test
+        raise ValueError(f"dataset type {cfg.data.dataset_type!r} not wired yet")
+
+    def _build_steps(self):
+        cfg = self.cfg
+        statics = self.statics
+        need_probs = (
+            cfg.optim.lambda_landmark > 0
+            or cfg.optim.lambda_attn_reg > 0
+            or cfg.optim.lambda_pos_reg > 0
+            or cfg.optim.lambda_neg_reg > 0
+        )
+
+        def g_step(params, g_opt_state, disc_heads, batch, rng):
+            r_fwd, r_loss = jax.random.split(rng)
+
+            def loss_fn(p):
+                p = freeze_non_trainable(p, self.g_mask)
+                out = restore_forward(
+                    p,
+                    batch["image"],
+                    batch.get("conditioning_images"),
+                    batch.get("valid_indices"),
+                    rng=r_fwd,
+                    statics=statics,
+                    save_attn_probs=need_probs,
+                )
+                total, losses = compute_generator_loss(
+                    out,
+                    batch,
+                    cfg.optim,
+                    rng=r_loss,
+                    lpips_params=self.lpips_params,
+                    arcface_params=self.arcface_params,
+                    disc_backbone=self.disc_backbone,
+                    disc_heads=disc_heads,
+                    train_input=statics.train_input,
+                )
+                return total, (losses, out["output_image"])
+
+            (_, (losses, pred)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, g_opt_state = self.g_opt.update(grads, g_opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, g_opt_state, losses, pred
+
+        def d_step(disc_heads, d_opt_state, pred, real, rng):
+            r1, r2 = jax.random.split(rng)
+
+            def loss_fn(heads):
+                l_real, heads1 = gan_mod.discriminate(
+                    self.disc_backbone, heads, real, r1, for_real=True,
+                    vit_cfg=self.vit_cfg,
+                )
+                l_fake, heads2 = gan_mod.discriminate(
+                    self.disc_backbone, heads1, jax.lax.stop_gradient(pred), r2,
+                    for_real=False, vit_cfg=self.vit_cfg,
+                )
+                loss = 0.5 * (l_real.mean() + l_fake.mean()) * cfg.optim.lambda_gan
+                return loss, heads2
+
+            (loss, new_heads), grads = jax.value_and_grad(loss_fn, has_aux=True)(disc_heads)
+            updates, d_opt_state = self.d_opt.update(grads, d_opt_state, disc_heads)
+            disc_heads = optax.apply_updates(new_heads, updates)
+            return disc_heads, d_opt_state, loss
+
+        self._g_step = jax.jit(g_step)
+        self._d_step = jax.jit(d_step) if self.disc_heads is not None else None
+
+        def eval_step(params, batch, rng):
+            out = restore_forward(
+                params,
+                batch["image"],
+                batch.get("conditioning_images"),
+                batch.get("valid_indices"),
+                rng=rng,
+                statics=statics,
+                timestep=cfg.model.noise_timestep,
+            )
+            _, losses = compute_generator_loss(
+                out, batch, cfg.optim, rng=rng,
+                lpips_params=self.lpips_params,
+                arcface_params=self.arcface_params,
+                train_input=statics.train_input,
+            )
+            return losses, out["output_image"]
+
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        keep = {
+            k: v
+            for k, v in batch.items()
+            if k in ("image", "gt", "conditioning_images", "valid_indices",
+                     "pos_reg_idx", "neg_reg_idx", "facial_comps")
+        }
+        return shard_batch(self.mesh, keep)
+
+    def train(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.compute.seed)
+        t0 = time.time()
+        while self.train_step_num < cfg.steps.max_steps:
+            for batch in self.train_loader:
+                if self.train_step_num >= cfg.steps.max_steps:
+                    break
+                rng, r_g, r_d = jax.random.split(rng, 3)
+                dev_batch = self._device_batch(batch)
+                self.params, self.g_opt_state, losses, pred = self._g_step(
+                    self.params, self.g_opt_state, self.disc_heads, dev_batch, r_g
+                )
+                if self._d_step is not None:
+                    self.disc_heads, self.d_opt_state, d_loss = self._d_step(
+                        self.disc_heads, self.d_opt_state, pred, dev_batch["gt"], r_d
+                    )
+                    losses["loss_d"] = d_loss
+
+                self.train_step_num += 1
+                self.logger.update_step(self.train_step_num)
+                if self.train_step_num % cfg.steps.metric_interval == 0:
+                    losses = jax.device_get(losses)
+                    losses["steps_per_sec"] = cfg.steps.metric_interval / max(
+                        time.time() - t0, 1e-9
+                    )
+                    t0 = time.time()
+                    self.logger.log_metrics(losses, "train")
+                if self.train_step_num % cfg.steps.image_interval == 0:
+                    self.logger.vis_batch(
+                        "train_images",
+                        {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
+                    )
+                if self.train_step_num % cfg.steps.val_interval == 0:
+                    self.validate()
+                if self.train_step_num % cfg.steps.save_interval == 0:
+                    self.save(tag=f"step_{self.train_step_num}")
+        self.validate()
+        self.save(tag="final")
+
+    def validate(self):
+        rng = jax.random.PRNGKey(0)
+        agg: Dict[str, list] = {}
+        vis_done = False
+        count = 0
+        for batch in self.test_loader:
+            if batch["image"].shape[0] % self.device_count != 0 and self.device_count > 1:
+                continue  # uneven remainder on the mesh
+            dev_batch = self._device_batch(batch)
+            losses, pred = self._eval_step(self.params, dev_batch, rng)
+            losses = jax.device_get(losses)
+            for k, v in losses.items():
+                agg.setdefault(k, []).append(float(v))
+            if not vis_done:
+                self.logger.vis_batch(
+                    "val_images",
+                    {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
+                )
+                vis_done = True
+            count += 1
+            if count >= self.cfg.log.val_vis_count:
+                break
+        if not agg:
+            return
+        mean_losses = {k: float(np.mean(v)) for k, v in agg.items()}
+        self.logger.log_metrics(mean_losses, "val")
+        if mean_losses.get("loss", float("inf")) < self.best_val_loss:
+            self.best_val_loss = mean_losses["loss"]
+            self.save(tag="best_model")
+            (self.cfg.log.exp_dir / "checkpoints" / "timestep.txt").write_text(
+                f"best val loss {self.best_val_loss:.5f} at step {self.train_step_num}\n"
+            )
+
+    def save(self, tag: str):
+        out = Path(self.cfg.log.exp_dir) / "checkpoints" / tag
+        payload = {"params": jax.device_get(self.params)}
+        if self.disc_heads is not None:
+            payload["disc_heads"] = jax.device_get(self.disc_heads)
+        ckpt_mod.save_checkpoint(out, payload, cfg=self.cfg, step=self.train_step_num)
+        self.logger.log_message(f"saved checkpoint {out}")

@@ -1,0 +1,205 @@
+"""Composite generator loss — functional twin of Coach.calc_loss
+(/root/reference/face_replace/training/coach.py:562-700) plus the G-side
+adversarial term (coach.py:239).
+
+Terms (weights = OptimConfig lambda_*):
+  rec (l1 OR l2, :574-581) | LPIPS (:582-584, always) | MS-SSIM (:586-591)
+  | ArcFace ID (:593-597) | attention-entropy reg (:599-617) | cycle
+  (re-degrade prediction, :619-629) | landmark attention (:631-640,531-560)
+  | pos/neg reference-attention regularizers (:642-680) | facial-component
+  l2+LPIPS (:682-697) | vision-aided GAN G term.
+
+All terms are pure functions usable inside the jitted train step. Losses
+whose auxiliary networks are absent (no LPIPS/ArcFace/D params supplied) are
+skipped even if their lambda is positive — callers decide what to load.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instantrestore_tpu.configs.config import OptimConfig
+from instantrestore_tpu.training.losses import gan as gan_mod
+from instantrestore_tpu.training.losses import id_loss as id_mod
+from instantrestore_tpu.training.losses.lpips import lpips as lpips_fn
+from instantrestore_tpu.training.losses.ssim import ms_ssim
+
+
+def landmark_attention_loss(
+    pred_probs: jnp.ndarray,  # [B, heads, q, K] (widened)
+    gt_probs: jnp.ndarray,    # [B, heads, q, q] gaussian-splatted targets
+    mask: jnp.ndarray,        # [B, q] bool landmark positions
+    chosen_cond: jnp.ndarray, # scalar int: KV segment index
+) -> jnp.ndarray:
+    """coach.py:531-560: min-max-normalize both maps, slice the chosen
+    conditioning segment, masked MSE over landmark query rows."""
+    pf = pred_probs.astype(jnp.float32)
+    pf = (pf - pf.min()) / (pf.max() - pf.min() + 1e-12)
+    gf = gt_probs.astype(jnp.float32)
+    gf = (gf - gf.min()) / (gf.max() - gf.min() + 1e-12)
+    q = pred_probs.shape[2]
+    seg = jax.lax.dynamic_slice_in_dim(pf, chosen_cond * q, q, axis=3)
+    w = mask[:, None, :, None].astype(jnp.float32)
+    num = (jnp.square(seg - gf) * w).sum()
+    den = w.sum() * seg.shape[1] * seg.shape[3]
+    return num / jnp.maximum(den, 1.0)
+
+
+def attention_entropy_reg(attn_probs: List[jnp.ndarray], n_segments: int = 5) -> jnp.ndarray:
+    """coach.py:599-617: encourage uniform usage of the reference segments
+    (cross-entropy between the per-query argmax-segment histogram and the
+    uniform distribution), averaged over layers. Uses a softmax relaxation of
+    the one-hot argmax so it stays differentiable under jit (the torch
+    version's hard one_hot has zero gradient anyway; the statistics match)."""
+    regs = []
+    for probs in attn_probs:
+        b, h, q, k = probs.shape
+        seg = probs.reshape(b, h, q, n_segments, k // n_segments)
+        seg = seg[:, :, :, 1:, :]  # drop the input-image segment (:605)
+        mean_act = seg.mean(axis=-1)  # [B, h, q, n-1]
+        one_hot = jax.nn.one_hot(jnp.argmax(mean_act, axis=-1), n_segments)
+        avg = one_hot.mean(axis=2)  # [B, h, n]
+        log_probs = jnp.log(avg + 1e-8)
+        regs.append(-(log_probs * (1.0 / n_segments)).sum() / b)
+    return sum(regs) / len(regs)
+
+
+def reference_usage_means(attn_probs: List[jnp.ndarray], layer_idx: jnp.ndarray,
+                          q_sizes: List[int]) -> jnp.ndarray:
+    """Per-segment total attention mass of one (traced) layer: [n_segments].
+
+    coach.py:647-655: segment sums over the whole batch/heads/queries of the
+    chosen layer. Computed for all layers then gathered (shapes differ per
+    layer, so selection happens on the reduced values)."""
+    per_layer = []
+    for probs, q in zip(attn_probs, q_sizes):
+        k = probs.shape[-1]
+        seg = probs.reshape(*probs.shape[:-1], k // q, q)
+        per_layer.append(seg.sum(axis=(0, 1, 2, 4)).astype(jnp.float32))
+    stacked = jnp.stack(per_layer)  # [layers, n_segments]
+    return stacked[layer_idx]
+
+
+def pos_neg_reg_loss(means: jnp.ndarray, target_idx: jnp.ndarray, *, negative: bool):
+    """coach.py:656-680: normalize by max, softmax over segments, NLL toward
+    (pos) or away from (neg) the target segment."""
+    means = means / jnp.maximum(means.max(), 1e-12)
+    probs = jax.nn.softmax(means[None], axis=1)
+    if negative:
+        log_p = jnp.log(jnp.clip(1.0 - probs, 1e-12, None))
+    else:
+        log_p = jnp.log(jnp.clip(probs, 1e-12, None))
+    return -log_p[0, target_idx]
+
+
+def compute_generator_loss(
+    out: Dict[str, Any],
+    batch: Dict[str, Any],
+    cfg: OptimConfig,
+    *,
+    rng: jax.Array,
+    lpips_params: Optional[Dict] = None,
+    arcface_params: Optional[Dict] = None,
+    disc_backbone: Optional[Dict] = None,
+    disc_heads: Optional[Dict] = None,
+    train_input: bool = True,
+    degrade_fn=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    pred = out["output_image"].astype(jnp.float32)
+    gts = batch["gt"].astype(jnp.float32)
+    losses: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+
+    # reconstruction: l1 takes precedence over l2 (coach.py:574-581)
+    if cfg.lambda_l1 > 0:
+        losses["loss_l1"] = jnp.abs(pred - gts).mean()
+        total += losses["loss_l1"] * cfg.lambda_l1
+    else:
+        losses["loss_l2"] = jnp.square(pred - gts).mean()
+        total += losses["loss_l2"] * cfg.lambda_l2
+
+    if lpips_params is not None:
+        losses["loss_lpips"] = lpips_fn(lpips_params, pred, gts).mean()
+        total += losses["loss_lpips"] * cfg.lambda_lpips
+
+    if cfg.lambda_ssim > 0:
+        losses["loss_ssim"] = 1.0 - ms_ssim((pred + 1) / 2, (gts + 1) / 2, data_range=1.0)
+        total += losses["loss_ssim"] * cfg.lambda_ssim
+
+    if cfg.lambda_id_loss > 0 and arcface_params is not None and "id_mats_pred" in batch:
+        lid, sim = id_mod.id_loss(
+            arcface_params, pred, gts,
+            batch["id_mats_pred"], batch["id_mats_target"], batch["id_valid"],
+        )
+        losses["loss_id"] = lid
+        losses["sim_id"] = sim
+        total += lid * cfg.lambda_id_loss
+
+    attn_probs = out.get("attn_probs")
+    n_segments = 5 if train_input else 4
+
+    if cfg.lambda_attn_reg > 0 and attn_probs:
+        losses["loss_attn_reg"] = attention_entropy_reg(attn_probs, n_segments)
+        total += losses["loss_attn_reg"] * cfg.lambda_attn_reg
+
+    if cfg.lambda_cycle > 0 and degrade_fn is not None:
+        degraded_pred = degrade_fn(pred)
+        losses["loss_cycle"] = jnp.square(
+            degraded_pred - jax.lax.stop_gradient(batch["image"].astype(jnp.float32))
+        ).mean()
+        total += losses["loss_cycle"] * cfg.lambda_cycle
+
+    if cfg.lambda_landmark > 0 and attn_probs and batch.get("gt_attn_probs") is not None:
+        gt_probs, masks, layers, conds = batch["gt_attn_probs"]
+        # reference handles batch=1 (coach.py:633 TODO); same constraint here
+        layer = int(layers[0])
+        losses["loss_landmark"] = landmark_attention_loss(
+            attn_probs[layer], jnp.asarray(gt_probs[0])[None],
+            jnp.asarray(masks[0])[None], jnp.asarray(int(conds[0])),
+        )
+        total += losses["loss_landmark"] * cfg.lambda_landmark
+
+    if (cfg.lambda_pos_reg > 0 or cfg.lambda_neg_reg > 0) and attn_probs:
+        q_sizes = [p.shape[2] for p in attn_probs]
+        layer_idx = jax.random.randint(rng, (), 0, len(attn_probs))
+        means = reference_usage_means(attn_probs, layer_idx, q_sizes)
+        if cfg.lambda_pos_reg > 0 and "pos_reg_idx" in batch:
+            idx = batch["pos_reg_idx"][0]
+            valid = (idx >= 0).astype(jnp.float32)
+            lp = pos_neg_reg_loss(means, jnp.maximum(idx, 0), negative=False)
+            losses["loss_attn_pos_reg"] = lp * valid
+            total += losses["loss_attn_pos_reg"] * cfg.lambda_pos_reg
+        if cfg.lambda_neg_reg > 0 and "neg_reg_idx" in batch:
+            idx = batch["neg_reg_idx"][0]
+            valid = (idx >= 0).astype(jnp.float32)
+            ln = pos_neg_reg_loss(means, jnp.maximum(idx, 0), negative=True)
+            losses["loss_attn_neg_reg"] = ln * valid
+            total += losses["loss_attn_neg_reg"] * cfg.lambda_neg_reg
+
+    if cfg.lambda_facial_comp > 0 and batch.get("facial_comps") is not None:
+        fc_total = jnp.asarray(0.0)
+        fc_lpips = jnp.asarray(0.0)
+        for m in batch["facial_comps"]:
+            mask = m[..., None].astype(jnp.float32)
+            fc_total += jnp.square(pred * mask - gts * mask).mean()
+            if lpips_params is not None:
+                fc_lpips += lpips_fn(lpips_params, pred * mask, gts * mask).mean()
+        losses["loss_facial_comp_l2"] = fc_total
+        losses["loss_facial_comp_lpips"] = fc_lpips
+        total += cfg.lambda_facial_comp * (
+            fc_total * cfg.lambda_l2 + fc_lpips * cfg.lambda_lpips
+        )
+
+    if cfg.lambda_gan > 0 and disc_backbone is not None and disc_heads is not None:
+        g_loss, _ = gan_mod.discriminate(
+            disc_backbone, disc_heads, out["output_image"], rng,
+            for_g=True, update_sn=False,
+        )
+        losses["loss_g"] = g_loss.mean()
+        total += losses["loss_g"] * cfg.lambda_gan
+
+    losses["loss"] = total
+    return total, losses

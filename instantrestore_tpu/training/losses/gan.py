@@ -1,0 +1,249 @@
+"""Vision-aided GAN discriminator (DINOv2 backbone) in JAX.
+
+Twin of /root/reference/face_replace/training/vision_aided_loss/: frozen
+DINOv2 ViT-L/14 feature ensemble + trainable spectral-norm multi-level heads
++ DiffAugment('color,translation,cutout') + ``multilevel_sigmoid_s``
+(BCE-with-logits against 0.8-smoothed real targets, cv_losses.py:26-47 with
+alpha=0.8).
+
+Functional design: the head parameters and the spectral-norm power-iteration
+vectors live in one state pytree; ``discriminate`` returns
+(loss, new_state) — the caller threads the state through training steps
+(torch updates the u vectors as buffers during forward; here they are data).
+
+Feature taps (cvmodel.py:186-197): input resized to 224 (area), normalized
+with CLIP mean / ImageNet std (the reference's exact, if odd, combination);
+intermediate layers [0, 4, -1] of the last 8 -> two 16x16x1024 maps + the
+final class token. Head (cv_discriminator.py:12-46 MultiLevelDViT, dinov2
+branch: in 1024, out 256, down=2): per spatial level
+BlurPool4(pad 2, s1) -> SNConv3x3 s2 -> LeakyReLU(0.2) -> BlurPool4(pad 1,
+s1) -> SNConv1x1 s2 => [B,4,4] logits; class-token level: SNLinear ->
+LeakyReLU -> SNLinear(256->1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantrestore_tpu.models.vit import (
+    DINOV2_VITL14,
+    ViTConfig,
+    vit_intermediate_layers,
+)
+from instantrestore_tpu.ops.primitives import init_conv2d, init_dense
+
+# cvmodel.py:183-189
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_BLUR4 = np.array([1.0, 3.0, 3.0, 1.0])
+_BLUR4 = np.outer(_BLUR4, _BLUR4)
+_BLUR4 = (_BLUR4 / _BLUR4.sum()).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# spectral norm (power iteration state as data)
+# ---------------------------------------------------------------------------
+
+
+def _sn_init(key, shape) -> jnp.ndarray:
+    """u vector over the output dimension of a (reshaped) weight matrix."""
+    out_dim = shape[-1] if len(shape) == 2 else shape[3]
+    u = jax.random.normal(key, (out_dim,))
+    return u / jnp.linalg.norm(u)
+
+
+def _sn_apply(kernel: jnp.ndarray, u: jnp.ndarray, update: bool):
+    """One torch-style power iteration; returns (kernel/sigma, new_u).
+
+    torch reshapes conv weights to [out, in*kh*kw]; HWIO -> same matrix with
+    out last: W2 [in*kh*kw, out].
+    """
+    w2 = kernel.reshape(-1, kernel.shape[-1]) if kernel.ndim == 4 else kernel
+    w2f = w2.astype(jnp.float32)
+    v = w2f @ u
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    u_new = w2f.T @ v
+    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+    u_used = u_new if update else u
+    sigma = v @ (w2f @ u_used)
+    k = (w2f / sigma).reshape(kernel.shape).astype(kernel.dtype)
+    return k, jax.lax.stop_gradient(u_new)
+
+
+def _sn_conv(p, x, *, stride, padding, update):
+    k, u_new = _sn_apply(p["kernel"], p["u"], update)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride),
+        [(padding, padding), (padding, padding)], dimension_numbers=dn,
+    ) + p["bias"].astype(x.dtype)
+    return y, {**p, "u": u_new}
+
+
+def _sn_dense(p, x, *, update):
+    k, u_new = _sn_apply(p["kernel"], p["u"], update)
+    y = x @ k.astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y, {**p, "u": u_new}
+
+
+def _blurpool(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Antialiased blur: zero pad then depthwise 4-tap filter, stride 1."""
+    c = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    filt = jnp.asarray(_BLUR4)[:, :, None, None] * jnp.ones((1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, filt.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DiffAugment (color, translation, cutout) — per-sample, differentiable
+# ---------------------------------------------------------------------------
+
+
+def diff_augment(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """DiffAugment policy 'color,translation,cutout' on NHWC in [-1, 1]."""
+    b, h, w, c = x.shape
+    r = jax.random.split(rng, 6)
+    # brightness: + U(-0.5, 0.5)
+    x = x + jax.random.uniform(r[0], (b, 1, 1, 1), minval=-0.5, maxval=0.5)
+    # saturation: (x - mean_c) * U(0, 2) + mean_c
+    mean_c = x.mean(axis=-1, keepdims=True)
+    x = (x - mean_c) * jax.random.uniform(r[1], (b, 1, 1, 1), minval=0.0, maxval=2.0) + mean_c
+    # contrast: (x - mean_all) * U(0.5, 1.5) + mean_all
+    mean_all = x.mean(axis=(1, 2, 3), keepdims=True)
+    x = (x - mean_all) * jax.random.uniform(r[2], (b, 1, 1, 1), minval=0.5, maxval=1.5) + mean_all
+    # translation: shift by U(-h/8, h/8), zero pad
+    sh = jax.random.randint(r[3], (b,), -(h // 8), h // 8 + 1)
+    sw = jax.random.randint(r[4], (b,), -(w // 8), w // 8 + 1)
+    ys = jnp.arange(h)[None, :] - sh[:, None]  # [b, h]
+    xs = jnp.arange(w)[None, :] - sw[:, None]
+    y_ok = (ys >= 0) & (ys < h)
+    x_ok = (xs >= 0) & (xs < w)
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    x = jax.vmap(lambda img, yy, xx: img[yy][:, xx])(x, ys, xs)
+    x = x * (y_ok[:, :, None, None] & x_ok[:, None, :, None]).astype(x.dtype)
+    # cutout: zero square of size h/2 at random offset
+    ch = h // 2
+    oy = jax.random.randint(r[5], (b,), 0, h + (1 - ch % 2) - ch // 2)
+    ox = jax.random.randint(jax.random.fold_in(r[5], 1), (b,), 0, w + (1 - ch % 2) - ch // 2)
+    gy = jnp.arange(h)[None, :]
+    gx = jnp.arange(w)[None, :]
+    mask_y = (gy >= oy[:, None] - ch // 2) & (gy < oy[:, None] + (ch + 1) // 2)
+    mask_x = (gx >= ox[:, None] - ch // 2) & (gx < ox[:, None] + (ch + 1) // 2)
+    cut = mask_y[:, :, None] & mask_x[:, None, :]
+    return x * (1.0 - cut[..., None].astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# discriminator
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator_heads(key) -> Dict[str, Any]:
+    """MultiLevelDViT(dinov2): 2 conv branches + class-token MLP branch."""
+    keys = iter(jax.random.split(key, 16))
+
+    def sn(p, k):
+        p = dict(p)
+        p["u"] = _sn_init(k, p["kernel"].shape)
+        return p
+
+    branches = []
+    for _ in range(2):
+        branches.append(
+            {
+                "conv1": sn(init_conv2d(next(keys), 1024, 256, 3), next(keys)),
+                "conv2": sn(init_conv2d(next(keys), 256, 1, 1), next(keys)),
+            }
+        )
+    return {
+        "spatial": branches,
+        "token_fc": sn(init_dense(next(keys), 1024, 256), next(keys)),
+        "token_out": sn(init_dense(next(keys), 256, 1), next(keys)),
+    }
+
+
+def _heads_apply(heads, feats, *, update_sn: bool):
+    """feats: ([B,16,16,1024], [B,16,16,1024], [B,1024]) -> list of logits."""
+    new_heads = {"spatial": [], "token_fc": None, "token_out": None}
+    logits = []
+    for branch, fmap in zip(heads["spatial"], feats[:2]):
+        h = _blurpool(fmap, pad=2)
+        h, c1 = _sn_conv(branch["conv1"], h, stride=2, padding=0, update=update_sn)
+        h = jax.nn.leaky_relu(h, 0.2)
+        h = _blurpool(h, pad=1)
+        h, c2 = _sn_conv(branch["conv2"], h, stride=2, padding=0, update=update_sn)
+        logits.append(h[..., 0])  # [B, 4, 4]
+        new_heads["spatial"].append({"conv1": c1, "conv2": c2})
+    tok = feats[2]
+    h, fc = _sn_dense(heads["token_fc"], tok.astype(jnp.float32), update=update_sn)
+    h = jax.nn.leaky_relu(h, 0.2)
+    out, to = _sn_dense(heads["token_out"], h, update=update_sn)
+    logits.append(out)  # [B, 1]
+    new_heads["token_fc"] = fc
+    new_heads["token_out"] = to
+    return logits, new_heads
+
+
+def multilevel_sigmoid_loss(logits: List[jnp.ndarray], *, for_real: bool,
+                            for_g: bool = False, alpha: float = 0.8) -> jnp.ndarray:
+    """cv_losses.multilevel_loss with alpha=0.8: per-level BCE-with-logits
+    vs alpha (real / G) or 0 (fake), spatial-mean, summed over levels,
+    returned per sample [B, 1]."""
+    target = alpha if (for_real or for_g) else 0.0
+    total = 0.0
+    for lg in logits:
+        lgf = lg.astype(jnp.float32)
+        bce = jnp.maximum(lgf, 0) - lgf * target + jnp.log1p(jnp.exp(-jnp.abs(lgf)))
+        if bce.ndim > 2:
+            bce = bce.mean(axis=tuple(range(1, bce.ndim))).reshape(-1, 1)
+        total = total + bce
+    return total
+
+
+def discriminate(
+    backbone_params: Dict[str, Any],
+    heads: Dict[str, Any],
+    images: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    for_real: bool = True,
+    for_g: bool = False,
+    vit_cfg: ViTConfig = DINOV2_VITL14,
+    update_sn: bool = True,
+    diffaug: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Full vision-aided D pass: DiffAugment -> DINOv2 features -> SN heads
+    -> multilevel sigmoid loss (per sample [B,1]). Returns (loss, new_heads).
+    """
+    x = diff_augment(images, rng) if diffaug else images
+    # cvmodel.py:187-189: area-resize to 224, CLIP-mean/ImageNet-std normalize
+    x01 = x * 0.5 + 0.5
+    b = x01.shape[0]
+    x224 = jax.image.resize(x01, (b, 224, 224, 3), method="linear")
+    x224 = (x224 - jnp.asarray(_CLIP_MEAN)) / jnp.asarray(_IMAGENET_STD)
+
+    n_taps = min(8, vit_cfg.depth)
+    inter = vit_intermediate_layers(backbone_params, x224, n=n_taps, cfg=vit_cfg)
+    # indices [0, 4, -1] of the last 8 (scaled down for tiny test configs);
+    # two spatial maps + final class token
+    g = 224 // vit_cfg.patch_size
+    f0 = inter[0][0].reshape(b, g, g, -1)
+    f1 = inter[n_taps // 2][0].reshape(b, g, g, -1)
+    tok = inter[-1][1]
+    if for_g:
+        feats = (f0, f1, tok)
+    else:
+        feats = tuple(jax.lax.stop_gradient(f) for f in (f0, f1, tok))
+    logits, new_heads = _heads_apply(heads, feats, update_sn=update_sn)
+    loss = multilevel_sigmoid_loss(logits, for_real=for_real, for_g=for_g)
+    return loss, new_heads
