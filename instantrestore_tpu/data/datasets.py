@@ -343,3 +343,59 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     if "identity" in items[0]:
         batch["identity"] = [it["identity"] for it in items]
     return batch
+
+
+class PairedDataset(CoachDataset):
+    """Debug/augmentations dataset over ``<identity>/canonical_images/*``
+    (re-specification of the missing paired_dataset.py, SURVEY.md §2.5;
+    selected by dataset_type 'debug'/'augmentations', data_setups.py:14-23).
+
+    Pairs are (input, target) views of the same canonical image with the
+    joined transforms applied; references are sampled like RestoreDataset but
+    WITHOUT degradation — a pipeline smoke-test dataset.
+    """
+
+    def __init__(self, dataset_folder, max_conditioning_images: int = 4,
+                 resolution: int = 512, images_subdir: str = "canonical_images",
+                 seed: int = 0):
+        super().__init__()
+        folders = dataset_folder if isinstance(dataset_folder, (list, tuple)) else [dataset_folder]
+        self.resolution = resolution
+        self.max_cond = max_conditioning_images
+        self.joined = PairedTestTransform(resolution)
+        self._seed = seed
+        self.identity_dirs = []
+        for folder in folders:
+            for identity in sorted(Path(folder).glob("*")):
+                sub = identity / images_subdir
+                if identity.is_dir() and len(list(sub.glob("*"))) > 1:
+                    self.identity_dirs.append((identity, images_subdir))
+        self.paths = []
+        for identity, sub in self.identity_dirs:
+            self.paths += [
+                p for p in sorted((identity / sub).glob("*"))
+                if p.suffix.lower() in IMAGE_SUFFIXES
+            ]
+
+    def __getitem__(self, idx: int):
+        path = self.paths[idx]
+        rng = random.Random(hash((self._seed, idx)) & 0x7FFFFFFF)
+        img = Image.open(path).convert("RGB")
+        inp, out = self.joined(img, img.copy())
+        pool = [
+            p for p in sorted(path.parent.glob("*"))
+            if p != path and p.suffix.lower() in IMAGE_SUFFIXES
+        ]
+        n = min(len(pool), rng.randint(1, self.max_cond))
+        chosen = rng.sample(pool, n)
+        refs = [Image.open(p).convert("RGB") for p in chosen]
+        for i in range(self.max_cond - n):
+            refs.append(refs[i % n])
+        cond = np.stack([infer_transform(r, self.resolution) for r in refs])
+        return {
+            "image": normalize_pm1(to_float01(inp)).astype(np.float32),
+            "gt": normalize_pm1(to_float01(out)).astype(np.float32),
+            "conditioning_images": cond.astype(np.float32),
+            "valid_indices": np.int32(n),
+            "caption": PROMPT,
+        }

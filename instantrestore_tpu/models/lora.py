@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from instantrestore_tpu.ops.primitives import add_lora_conv, add_lora_dense
 
@@ -95,6 +96,33 @@ def attach_lora(
         return node
 
     return walk(params, "")
+
+
+def merge_lora(params: Any, scaling: float) -> Any:
+    """Fold LoRA factors into the base kernels (inference-time optimization).
+
+    Dense: W += scaling * A @ B. Conv: the composition of the kxk A-conv
+    (in->r) and the 1x1 B-conv (r->out) is exactly a kxk conv with kernel
+    einsum('hwir,ro->hwio', A, B[0,0]) — no padding interaction because B is
+    1x1. Eliminates the ~25% extra conv FLOPs the factored path costs at
+    rank 32; returns a tree without lora leaves.
+    """
+    if isinstance(params, dict):
+        if "lora_A" in params and "kernel" in params:
+            a, b = params["lora_A"], params["lora_B"]
+            if params["kernel"].ndim == 4:
+                delta = jnp.einsum("hwir,ro->hwio", a, b[0, 0])
+            else:
+                delta = a @ b
+            out = {
+                k: v for k, v in params.items() if k not in ("lora_A", "lora_B")
+            }
+            out["kernel"] = params["kernel"] + scaling * delta.astype(params["kernel"].dtype)
+            return out
+        return {k: merge_lora(v, scaling) for k, v in params.items()}
+    if isinstance(params, list):
+        return [merge_lora(v, scaling) for v in params]
+    return params
 
 
 def strip_lora(params: Any) -> Any:

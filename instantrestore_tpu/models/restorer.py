@@ -334,3 +334,22 @@ def restore_forward(
     if save_attn_probs:
         result["attn_probs"] = aux.get("attn_probs")
     return result
+
+
+def serving_bundle(params: Dict[str, Any], statics: RestorerStatics) -> Dict[str, Any]:
+    """Inference-optimized bundle: LoRA merged into the trainable nets'
+    kernels (eliminating the factored-path conv overhead), frozen originals
+    materialized explicitly so the capture branch still sees base weights.
+    Costs one extra copy of the base weights in HBM (~1.9 GB bf16)."""
+    from instantrestore_tpu.models.lora import merge_lora
+
+    out = {
+        "unet": merge_lora(params["unet"], statics.unet_lora_scaling),
+        "vae": merge_lora(params["vae"], statics.vae_lora_scaling),
+        "original_unet": original_unet_view(params),
+        "original_vae": original_vae_view(params),
+        "caption_enc": params["caption_enc"],
+    }
+    if "text_encoder" in params:
+        out["text_encoder"] = params["text_encoder"]
+    return out

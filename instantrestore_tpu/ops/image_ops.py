@@ -41,9 +41,12 @@ def center_crop(images: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def preprocess(images_01: jnp.ndarray, resolution: int = 512) -> jnp.ndarray:
-    """[0,1] float images -> [-1,1], resized+cropped to resolution."""
+    """[0,1] float images -> [-1,1], resized+cropped to resolution.
+
+    Cubic resampling can overshoot; clip like PIL's uint8 clamp does.
+    """
     x = resize_shorter_side(images_01, resolution)
-    x = center_crop(x, resolution)
+    x = jnp.clip(center_crop(x, resolution), 0.0, 1.0)
     return x * 2.0 - 1.0
 
 
@@ -91,7 +94,12 @@ def degrade_on_device(
 
     x = gaussian_blur(images_01, sigma, sigma)
     b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, h // factor, w // factor, c), "linear", antialias=True)
+    # snap the downsampled size to a multiple of 16 so the 8x8 DCT blocks and
+    # the 4:2:0 chroma subsampling tile exactly (libjpeg pads internally; on
+    # device we keep static shapes instead)
+    nh = max(16, (h // factor) // 16 * 16)
+    nw = max(16, (w // factor) // 16 * 16)
+    x = jax.image.resize(x, (b, nh, nw, c), "linear", antialias=True)
     x = x + jax.random.normal(rng, x.shape, x.dtype) * noise_sigma
     x = jnp.clip(x, 0.0, 1.0)
     x = jpeg_compress_dct(x, quality)

@@ -65,8 +65,13 @@ class Coach:
         self.vit_cfg = vit_cfg
         self.logger = CoachLogger(cfg.log.exp_dir, use_tensorboard=cfg.log.log2wandb)
         self.logger.log_config(encode_config(cfg))
-        self.device_count = jax.device_count()
-        self.mesh = make_mesh()
+        # data mesh over the largest device count that divides the global
+        # batch (a 1-sample batch on an 8-device test mesh uses 1 device)
+        n_dev = jax.device_count()
+        while cfg.compute.batch_size % n_dev != 0:
+            n_dev -= 1
+        self.device_count = n_dev
+        self.mesh = make_mesh(jax.devices()[:n_dev])
         self.train_step_num = 0
         self.best_val_loss = float("inf")
 
@@ -97,7 +102,9 @@ class Coach:
         if cfg.optim.lambda_gan > 0:
             if self.disc_backbone is None:
                 self.disc_backbone = init_vit_params(jax.random.fold_in(key, 2), vit_cfg)
-            self.disc_heads = gan_mod.init_discriminator_heads(jax.random.fold_in(key, 3))
+            self.disc_heads = gan_mod.init_discriminator_heads(
+                jax.random.fold_in(key, 3), embed_dim=vit_cfg.embed_dim
+            )
 
         # trainable masks + optimizers (two AdamW like the reference,
         # coach.py:444-489)
@@ -231,6 +238,7 @@ class Coach:
                     arcface_params=self.arcface_params,
                     disc_backbone=self.disc_backbone,
                     disc_heads=disc_heads,
+                    vit_cfg=self.vit_cfg,
                     train_input=statics.train_input,
                 )
                 return total, (losses, out["output_image"])

@@ -105,6 +105,7 @@ def compute_generator_loss(
     arcface_params: Optional[Dict] = None,
     disc_backbone: Optional[Dict] = None,
     disc_heads: Optional[Dict] = None,
+    vit_cfg=None,
     train_input: bool = True,
     degrade_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -194,9 +195,11 @@ def compute_generator_loss(
         )
 
     if cfg.lambda_gan > 0 and disc_backbone is not None and disc_heads is not None:
+        from instantrestore_tpu.models.vit import DINOV2_VITL14
+
         g_loss, _ = gan_mod.discriminate(
             disc_backbone, disc_heads, out["output_image"], rng,
-            for_g=True, update_sn=False,
+            for_g=True, update_sn=False, vit_cfg=vit_cfg or DINOV2_VITL14,
         )
         losses["loss_g"] = g_loss.mean()
         total += losses["loss_g"] * cfg.lambda_gan

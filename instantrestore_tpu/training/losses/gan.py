@@ -148,7 +148,7 @@ def diff_augment(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def init_discriminator_heads(key) -> Dict[str, Any]:
+def init_discriminator_heads(key, embed_dim: int = 1024, out_ch: int = 256) -> Dict[str, Any]:
     """MultiLevelDViT(dinov2): 2 conv branches + class-token MLP branch."""
     keys = iter(jax.random.split(key, 16))
 
@@ -161,14 +161,14 @@ def init_discriminator_heads(key) -> Dict[str, Any]:
     for _ in range(2):
         branches.append(
             {
-                "conv1": sn(init_conv2d(next(keys), 1024, 256, 3), next(keys)),
-                "conv2": sn(init_conv2d(next(keys), 256, 1, 1), next(keys)),
+                "conv1": sn(init_conv2d(next(keys), embed_dim, out_ch, 3), next(keys)),
+                "conv2": sn(init_conv2d(next(keys), out_ch, 1, 1), next(keys)),
             }
         )
     return {
         "spatial": branches,
-        "token_fc": sn(init_dense(next(keys), 1024, 256), next(keys)),
-        "token_out": sn(init_dense(next(keys), 256, 1), next(keys)),
+        "token_fc": sn(init_dense(next(keys), embed_dim, out_ch), next(keys)),
+        "token_out": sn(init_dense(next(keys), out_ch, 1), next(keys)),
     }
 
 

@@ -82,3 +82,35 @@ def test_trainable_mask():
     assert mask["conv_norm_out"]["scale"] is False
     # mask tree structure matches param tree
     jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(lp)
+
+
+def test_merge_lora_exactness(rng=None):
+    import numpy as np
+    from instantrestore_tpu.models.lora import merge_lora
+    from instantrestore_tpu.ops.primitives import conv2d, dense
+
+    rng = np.random.default_rng(3)
+    # dense
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=6).astype(np.float32)),
+        "lora_A": jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32)),
+        "lora_B": jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+    merged = merge_lora({"layer": p}, 0.5)["layer"]
+    assert "lora_A" not in merged
+    np.testing.assert_allclose(
+        np.asarray(dense(merged, x)), np.asarray(dense(p, x, lora_scaling=0.5)), atol=1e-5
+    )
+    # conv
+    pc = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32)),
+        "lora_A": jnp.asarray(rng.normal(size=(3, 3, 4, 2)).astype(np.float32)),
+        "lora_B": jnp.asarray(rng.normal(size=(1, 1, 2, 6)).astype(np.float32)),
+    }
+    xi = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    mc = merge_lora({"c": pc}, 0.25)["c"]
+    np.testing.assert_allclose(
+        np.asarray(conv2d(mc, xi)), np.asarray(conv2d(pc, xi, lora_scaling=0.25)), atol=1e-4
+    )
