@@ -38,14 +38,16 @@ def main():
     if not on_tpu:
         # CPU smoke fallback (driver runs this on real TPU)
         print(json.dumps({
-            "metric": "restored 512px faces/sec/chip (4 refs, batch 16, warm identity KV)",
+            "metric": f"restored 512px faces/sec/chip (4 refs, batch {batch}, warm identity KV)",
             "value": 0.0, "unit": "faces/sec", "vs_baseline": 0.0,
             "note": "bench requires TPU backend; CPU smoke only",
         }))
         return
 
-    batch = 16
-    n_ident = 16
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    n_ident = int(os.environ.get("BENCH_IDENTITIES", 16))
     n_refs = 4
     res = 512
 
@@ -102,7 +104,7 @@ def main():
     cold_p50_ms = (time.perf_counter() - t0) / 5 * 1e3
 
     print(json.dumps({
-        "metric": "restored 512px faces/sec/chip (4 refs, batch 16, warm identity KV)",
+        "metric": f"restored 512px faces/sec/chip (4 refs, batch {batch}, warm identity KV)",
         "value": round(faces_per_sec, 2),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / TARGET_FACES_PER_SEC, 3),

@@ -124,6 +124,7 @@ def attention(
     save_probs: bool = False,
     lora_scaling: float = 1.0,
     use_fused: bool = False,
+    use_faceid: bool = False,
 ):
     """Multi-head attention with optional shared-image KV widening.
 
@@ -146,8 +147,16 @@ def attention(
     ctx = hidden if encoder_hidden is None else encoder_hidden
 
     q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
-    k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
-    v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
+    if use_faceid and encoder_hidden is not None:
+        # FaceIDAttnProcessor (attn_processors.py:100-180): replace the text
+        # K/V with projections of ArcFace embeddings — face_projection
+        # (512 -> cross_dim) then bias-free to_k/to_v_face_embed.
+        ctx = dense(p["face_projection"], ctx)
+        k_raw = dense(p["to_k_face_embed"], ctx)
+        v_raw = dense(p["to_v_face_embed"], ctx)
+    else:
+        k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
+        v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
 
     q = _split_heads(q, heads)
     k = _split_heads(k_raw, heads)

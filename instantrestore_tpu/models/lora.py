@@ -185,3 +185,36 @@ def count_lora_params(params: Any) -> int:
 
     walk(params)
     return total[0]
+
+
+def attach_faceid(params: Dict[str, Any], key: jax.Array, cross_dim: int = 1024,
+                  embed_dim: int = 512) -> Dict[str, Any]:
+    """Add FaceID projections to every cross-attention (attn2) module
+    (FaceIDAttnProcessor, attn_processors.py:100-112: face_projection
+    Linear(512 -> cross_dim) with bias, to_k/to_v_face_embed bias-free).
+    These are trainable when condition_on_face_embeds is on
+    (pix2pix_turbo.py:218-221)."""
+    from instantrestore_tpu.ops.primitives import init_dense
+
+    counter = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "attn2" and isinstance(v, dict) and "to_q" in v:
+                    counter[0] += 1
+                    sub = jax.random.fold_in(key, counter[0])
+                    k1, k2, k3 = jax.random.split(sub, 3)
+                    hidden = v["to_q"]["kernel"].shape[1]
+                    v = dict(v)
+                    v["face_projection"] = init_dense(k1, embed_dim, cross_dim)
+                    v["to_k_face_embed"] = init_dense(k2, cross_dim, hidden, bias=False)
+                    v["to_v_face_embed"] = init_dense(k3, cross_dim, hidden, bias=False)
+                out[k] = walk(v) if k != "attn2" else v
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)

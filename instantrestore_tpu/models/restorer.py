@@ -68,6 +68,7 @@ class RestorerStatics:
     unet_lora_scaling: float = 0.5  # alpha=r//2 at training (pix2pix_turbo.py:175-178)
     vae_lora_scaling: float = 0.5
     noise_timesteps: Tuple[int, ...] = NOISE_TIMESTEPS
+    condition_on_face_embeds: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -81,11 +82,7 @@ class RestorerStatics:
             vae_lora_scaling=(mcfg.lora_rank_vae // 2) / mcfg.lora_rank_vae,
         )
         kw.update(overrides)
-        if mcfg.condition_on_face_embeds:
-            raise NotImplementedError(
-                "FaceID cross-attention conditioning (off in all shipped "
-                "reference configs) is not implemented yet"
-            )
+        kw.setdefault("condition_on_face_embeds", mcfg.condition_on_face_embeds)
         return cls(**kw)
 
 
@@ -110,6 +107,13 @@ def init_restorer_params(
     vae_cfg = dataclasses.replace(statics.vae_cfg, use_shortcuts=statics.use_shortcuts)
     unet = init_unet_params(k1, statics.unet_cfg)
     unet = attach_lora(unet, k2, lora_rank_unet, UNET_LORA_TARGETS)
+    if statics.condition_on_face_embeds:
+        from instantrestore_tpu.models.lora import attach_faceid
+
+        unet = attach_faceid(
+            unet, jax.random.fold_in(key, 11),
+            cross_dim=statics.unet_cfg.cross_attention_dim,
+        )
     vae = init_vae_params(k3, vae_cfg)
     if train_vae:
         targets = VAE_SHORTCUT_TARGETS if statics.use_shortcuts else VAE_LORA_TARGETS
@@ -224,6 +228,7 @@ def restore_forward(
     cond_images: Optional[jnp.ndarray] = None,
     valid_indices: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    face_embeds: Optional[jnp.ndarray] = None,
     *,
     statics: RestorerStatics,
     timestep: Optional[int] = None,
@@ -295,8 +300,13 @@ def restore_forward(
     noise = jax.random.normal(r_noise, z.shape, z.dtype)
     zt = sched.add_noise(abar, z, noise, tb)
 
-    # 4. restoration UNet with shared-image attention
-    caption = jnp.tile(params["caption_enc"], (b, 1, 1))
+    # 4. restoration UNet with shared-image attention; FaceID conditioning
+    #    replaces the text embedding when enabled (pix2pix_turbo.py:316-320)
+    use_faceid = statics.condition_on_face_embeds and face_embeds is not None
+    if use_faceid:
+        caption = face_embeds
+    else:
+        caption = jnp.tile(params["caption_enc"], (b, 1, 1))
     eps, aux = unet_apply(
         params["unet"],
         zt,
@@ -308,6 +318,7 @@ def restore_forward(
         train_input=statics.train_input,
         save_attn_probs=save_attn_probs,
         use_fused_attention=use_fused_attention,
+        use_faceid=use_faceid,
         lora_scaling=statics.unet_lora_scaling,
         compute_dtype=statics.compute_dtype,
     )

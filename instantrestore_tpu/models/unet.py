@@ -298,10 +298,12 @@ def _transformer(
         )
         aux_out.update(aux)
         h = h + attn_out
-        # cross-attention over the text/context embedding
+        # cross-attention over the text/context embedding (or ArcFace face
+        # embeddings when the FaceID variant is enabled)
         norm_h = layer_norm(bp["norm2"], h)
         attn_out, _ = attention(bp["attn2"], norm_h, heads=heads, encoder_hidden=ctx,
-                                lora_scaling=lora_scaling)
+                                lora_scaling=lora_scaling,
+                                use_faceid=sh.get("use_faceid", False))
         h = h + attn_out
         # feed-forward (GEGLU)
         norm_h = layer_norm(bp["norm3"], h)
@@ -328,6 +330,7 @@ def unet_apply(
     freeu: Optional[FreeUParams] = DEFAULT_FREEU,
     lora_scaling: float = 1.0,
     use_fused_attention: bool = False,
+    use_faceid: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Run the UNet. ``sample``: [B, H, W, 4] NHWC latents; ``timesteps``:
@@ -360,7 +363,7 @@ def unet_apply(
     # plain (non-shared) self-attentions still want the fused kernel — the
     # 64x64 down-block attention would otherwise materialize [B,5,4096,4096]
     # probabilities in HBM
-    plain = {"use_fused": use_fused_attention}
+    plain = {"use_fused": use_fused_attention, "use_faceid": use_faceid}
 
     # ---- down path ----
     skips = [x]
@@ -406,6 +409,7 @@ def unet_apply(
                     "capture_kv": capture_kv,
                     "save_probs": save_attn_probs,
                     "use_fused": use_fused_attention,
+                    "use_faceid": use_faceid,
                 }
                 x, aux = _transformer(
                     bp["attentions"][j], x, temb, ctx, cfg=cfg, heads=heads,

@@ -290,3 +290,40 @@ def tree_to_torch_state_dict(tree: Any, prefix: str = "") -> Dict[str, np.ndarra
 
     walk(tree, prefix.rstrip("."))
     return out
+
+
+def export_lora_only_checkpoint(
+    params: Dict[str, Any],
+    path: str,
+    *,
+    rank_unet: int,
+    rank_vae: int,
+    unet_targets: Optional[List[str]] = None,
+    vae_targets: Optional[List[str]] = None,
+) -> None:
+    """Write a reference-schema LoRA-only checkpoint
+    (Pix2Pix_Turbo.save_model, pix2pix_turbo.py:345-353): LoRA leaves +
+    unet conv_in + vae skip convs in peft key format, loadable by the
+    reference code (and by our ``load_torch_checkpoint``)."""
+    import torch
+
+    from instantrestore_tpu.models.lora import UNET_LORA_TARGETS, VAE_LORA_TARGETS
+
+    def filt(sd: Dict[str, np.ndarray], keep_substr) -> Dict[str, Any]:
+        return {
+            k: torch.from_numpy(np.asarray(v).copy())
+            for k, v in sd.items()
+            if any(s in k for s in keep_substr)
+        }
+
+    unet_sd = tree_to_torch_state_dict(params["unet"])
+    vae_sd = tree_to_torch_state_dict(params["vae"])
+    payload = {
+        "unet_lora_target_modules": list(unet_targets or UNET_LORA_TARGETS),
+        "vae_lora_target_modules": list(vae_targets or VAE_LORA_TARGETS),
+        "rank_unet": rank_unet,
+        "rank_vae": rank_vae,
+        "state_dict_unet": filt(unet_sd, ("lora", "conv_in")),
+        "state_dict_vae": filt(vae_sd, ("lora", "skip")),
+    }
+    torch.save(payload, path)

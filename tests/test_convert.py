@@ -126,3 +126,35 @@ def test_lora_scaling_reference_quirk():
     # peft default alpha=8 at load time -> 8/32 = 0.25 for shipped rank-32
     assert tc.lora_scaling_for_loaded(32) == 0.25
     assert tc.lora_scaling_for_loaded(32, alpha=16) == 0.5
+
+
+def test_lora_only_export_import_roundtrip(tmp_path):
+    """Our export writes the reference save_model schema; our importer reads
+    it back bit-exactly."""
+    import jax
+    from instantrestore_tpu.models.lora import UNET_LORA_TARGETS, attach_lora
+    from instantrestore_tpu.models.vae import VAEConfig as VC, init_vae_params
+
+    unet = init_unet_params(jax.random.PRNGKey(0), TINY)
+    unet = attach_lora(unet, jax.random.PRNGKey(1), 4, UNET_LORA_TARGETS)
+    # make lora_B nonzero so the roundtrip is meaningful
+    unet["conv_out"]["lora_B"] = jnp.ones_like(unet["conv_out"]["lora_B"])
+    vae = init_vae_params(jax.random.PRNGKey(2), VC(block_out_channels=(8, 16, 16, 16), norm_num_groups=4))
+    params = {"unet": unet, "vae": vae}
+    path = str(tmp_path / "export.pt")
+    tc.export_lora_only_checkpoint(params, path, rank_unet=4, rank_vae=4)
+
+    loaded = tc.load_torch_checkpoint(path)
+    assert loaded["format"] == "lora_only"
+    assert loaded["meta"]["rank_unet"] == 4
+    overlay = loaded["params"]["unet_overlay"]
+    np.testing.assert_allclose(
+        np.asarray(overlay["conv_out"]["lora_B"]),
+        np.asarray(unet["conv_out"]["lora_B"]),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(overlay["conv_in"]["kernel"]),
+        np.asarray(unet["conv_in"]["kernel"]),
+        atol=1e-7,
+    )
