@@ -34,6 +34,13 @@ TARGET_FACES_PER_SEC = 30.0
 
 
 def main():
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    n_ident = int(os.environ.get("BENCH_IDENTITIES", 16))
+    n_refs = 4
+    res = 512
+
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         # CPU smoke fallback (driver runs this on real TPU)
@@ -43,13 +50,6 @@ def main():
             "note": "bench requires TPU backend; CPU smoke only",
         }))
         return
-
-    import os
-
-    batch = int(os.environ.get("BENCH_BATCH", 16))
-    n_ident = int(os.environ.get("BENCH_IDENTITIES", 16))
-    n_refs = 4
-    res = 512
 
     statics = RestorerStatics(use_adain=True, train_input=False)  # shipped final cfg
     # init on host CPU (hundreds of small RNG kernels are slow over the

@@ -364,3 +364,70 @@ def serving_bundle(params: Dict[str, Any], statics: RestorerStatics) -> Dict[str
     if "text_encoder" in params:
         out["text_encoder"] = params["text_encoder"]
     return out
+
+
+def restore_forward_multistep(
+    params: Dict[str, Any],
+    image: jnp.ndarray,
+    cond_images: Optional[jnp.ndarray] = None,
+    valid_indices: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    *,
+    statics: RestorerStatics,
+    timesteps: Tuple[int, ...] = (749, 499, 249),
+    sample_posterior: bool = True,
+    use_fused_attention: bool = False,
+) -> Dict[str, Any]:
+    """Multi-step restoration: noise the input latent to timesteps[0], then
+    DDIM-denoise through the list with the SAME shared-attention K/V at every
+    step (captured once), finishing with the x0 estimate and VAE decode.
+
+    Extension beyond the reference (whose multi-step branch is unreachable
+    dead code, inference/test.py:84-90); single-step == timesteps=(249,).
+    """
+    b = image.shape[0]
+    abar = sched.make_alphas_cumprod()
+    sf = statics.vae_cfg.scaling_factor
+    r_cond, r_lat, r_noise = jax.random.split(rng, 3)
+
+    mean, logvar, skip_acts = vae_encode(
+        params["vae"], image, cfg=statics.vae_cfg,
+        lora_scaling=statics.vae_lora_scaling, compute_dtype=statics.compute_dtype,
+        use_fused_attention=use_fused_attention,
+    )
+    z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
+
+    ref_kv = None
+    if cond_images is not None and statics.use_shared_attention:
+        if valid_indices is None:
+            valid_indices = jnp.full((b,), cond_images.shape[1], jnp.int32)
+        ref_kv, _ = get_conditioning_kv(
+            params, cond_images, valid_indices, r_cond, statics=statics,
+            alphas_cumprod=abar, sample_posterior=sample_posterior,
+            use_fused_attention=use_fused_attention,
+        )
+
+    caption = jnp.tile(params["caption_enc"], (b, 1, 1))
+    t0 = jnp.full((b,), timesteps[0], jnp.int32)
+    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    x = sched.add_noise(abar, z, noise, t0)
+
+    for i, t in enumerate(timesteps):
+        tb = jnp.full((b,), t, jnp.int32)
+        eps, _ = unet_apply(
+            params["unet"], x, tb, caption, cfg=statics.unet_cfg, ref_kv=ref_kv,
+            use_adain=statics.use_adain, train_input=statics.train_input,
+            use_fused_attention=use_fused_attention,
+            lora_scaling=statics.unet_lora_scaling,
+            compute_dtype=statics.compute_dtype,
+        )
+        t_next = timesteps[i + 1] if i + 1 < len(timesteps) else -1
+        x = sched.ddim_step(abar, eps, x, tb, jnp.full((b,), t_next, jnp.int32))
+
+    out = vae_decode(
+        params["vae"], x / sf, cfg=statics.vae_cfg,
+        skip_acts=skip_acts if statics.use_shortcuts else None, gamma=1.0,
+        lora_scaling=statics.vae_lora_scaling, compute_dtype=statics.compute_dtype,
+        use_fused_attention=use_fused_attention,
+    )
+    return {"output_image": jnp.clip(out, -1.0, 1.0)}

@@ -100,3 +100,27 @@ def scale_model_input(sample: jnp.ndarray, timesteps=None) -> jnp.ndarray:
     """DDPM does not rescale the model input (identity)."""
     del timesteps
     return sample
+
+
+def ddim_step(
+    alphas_cumprod: jnp.ndarray,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    timestep: jnp.ndarray,
+    prev_timestep: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deterministic DDIM update x_t -> x_{t'} (eta=0) for epsilon prediction.
+
+    Used by the multi-step restoration extension (the reference's Predictor
+    contains an unreachable multi-step branch, inference/test.py:84-90; this
+    is the working equivalent). prev_timestep < 0 means 'to x0'.
+    """
+    x0 = pred_original_sample(alphas_cumprod, model_output, sample, timestep)
+    abar_prev = jnp.where(
+        prev_timestep >= 0, alphas_cumprod[jnp.maximum(prev_timestep, 0)], 1.0
+    ).astype(jnp.float32)
+    ndim_pad = (1,) * (sample.ndim - 1)
+    abar_prev = abar_prev.reshape(-1, *ndim_pad)
+    eps = model_output.astype(jnp.float32)
+    out = jnp.sqrt(abar_prev) * x0.astype(jnp.float32) + jnp.sqrt(1.0 - abar_prev) * eps
+    return out.astype(sample.dtype)

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _interpret_default() -> bool:
@@ -56,17 +57,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, scale):
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0, 0]
+    # fold softmax scale and the exp->exp2 conversion into Q once per block
+    # (saves one VPU multiply per score element; exp lowers to exp2 anyway)
+    q = q_ref[0, 0] * jnp.asarray(scale * LOG2E, q_ref.dtype)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, BK]
+    )  # [BQ, BK], logits in log2 units
     m_prev = m_scr[:, :1]
     l_prev = l_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     acc[:] = acc[:] * alpha + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -144,7 +147,7 @@ def _shared_kernel(
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0, 0]  # [BQ, d]
+    q = q_ref[0, 0] * jnp.asarray(scale * LOG2E, q_ref.dtype)  # [BQ, d], pre-scaled
     is_input_seg = include_input and (j == 0)
 
     v_scale = aff_ref[0, 0, 0, 0, :]  # [d]
@@ -174,12 +177,12 @@ def _shared_kernel(
             )
         s = jax.lax.dot_general(
             q, k_seg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )  # logits in log2 units (Q pre-scaled)
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot(
             p.astype(v_seg.dtype), v_seg, preferred_element_type=jnp.float32

@@ -203,7 +203,22 @@ class Coach:
                 resolution=cfg.data.resolution,
             )
             return train, test
-        raise ValueError(f"dataset type {cfg.data.dataset_type!r} not wired yet")
+        if cfg.data.dataset_type in ("debug", "augmentations"):
+            from instantrestore_tpu.data.datasets import PairedDataset
+
+            train = PairedDataset(
+                cfg.data.data_root,
+                max_conditioning_images=cfg.data.max_conditioning_images,
+                resolution=cfg.data.resolution,
+                seed=cfg.compute.seed,
+            )
+            test = PairedDataset(
+                cfg.data.val_data_root,
+                max_conditioning_images=cfg.data.max_conditioning_images,
+                resolution=cfg.data.resolution,
+            )
+            return train, test
+        raise ValueError(f"unknown dataset type {cfg.data.dataset_type!r}")
 
     def _build_steps(self):
         cfg = self.cfg

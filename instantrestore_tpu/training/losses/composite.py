@@ -130,11 +130,14 @@ def compute_generator_loss(
         losses["loss_ssim"] = 1.0 - ms_ssim((pred + 1) / 2, (gts + 1) / 2, data_range=1.0)
         total += losses["loss_ssim"] * cfg.lambda_ssim
 
-    if cfg.lambda_id_loss > 0 and arcface_params is not None and "id_mats_pred" in batch:
-        lid, sim = id_mod.id_loss(
-            arcface_params, pred, gts,
-            batch["id_mats_pred"], batch["id_mats_target"], batch["id_valid"],
-        )
+    if cfg.lambda_id_loss > 0 and arcface_params is not None:
+        if "id_mats_pred" in batch:
+            lid, sim = id_mod.id_loss(
+                arcface_params, pred, gts,
+                batch["id_mats_pred"], batch["id_mats_target"], batch["id_valid"],
+            )
+        else:  # detection-free fallback (pre-cropped faces)
+            lid, sim = id_mod.id_loss_whole_image(arcface_params, pred, gts)
         losses["loss_id"] = lid
         losses["sim_id"] = sim
         total += lid * cfg.lambda_id_loss

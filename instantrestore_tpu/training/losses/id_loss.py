@@ -386,3 +386,25 @@ def id_loss(
     # all-invalid batch -> zero loss (reference returns 0.0)
     any_valid = (validf.sum() > 0).astype(jnp.float32)
     return loss * any_valid, sim * any_valid
+
+
+def id_loss_whole_image(
+    arcface_params: Dict[str, Any],
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Detection-free ID loss: area-resize both images to 112 and compare
+    embeddings — the reference's effective behavior when MTCNN finds no face
+    on pre-cropped training data (AdaptiveAvgPool2d path, id_loss.py:36,52);
+    the TPU-friendly default when no alignment is supplied."""
+    b = pred.shape[0]
+
+    def pool112(x):
+        return jax.image.resize(
+            x.astype(jnp.float32), (b, 112, 112, x.shape[-1]), "linear", antialias=True
+        )
+
+    pred_feats = arcface_apply(arcface_params, pool112(pred))
+    target_feats = jax.lax.stop_gradient(arcface_apply(arcface_params, pool112(target)))
+    sims = jnp.einsum("bi,bi->b", pred_feats, target_feats)
+    return (1.0 - sims).mean(), sims.mean()

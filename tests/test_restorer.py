@@ -125,3 +125,21 @@ def test_jit_forward(setup):
 
     out = f(params, img, refs, jax.random.PRNGKey(0))
     assert out.shape == (2, 64, 64, 3)
+
+
+def test_multistep_restore(setup):
+    from instantrestore_tpu.models.restorer import restore_forward_multistep
+
+    params, img, refs = setup
+    out = restore_forward_multistep(
+        params, img[:1], refs[:1], rng=jax.random.PRNGKey(5), statics=STATICS,
+        timesteps=(749, 499, 249),
+    )
+    assert out["output_image"].shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out["output_image"])).all()
+    # single-step multistep == schedule of one step
+    one = restore_forward_multistep(
+        params, img[:1], refs[:1], rng=jax.random.PRNGKey(5), statics=STATICS,
+        timesteps=(249,),
+    )
+    assert one["output_image"].shape == (1, 64, 64, 3)
