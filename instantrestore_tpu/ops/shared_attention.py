@@ -88,13 +88,19 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q [B, H, Sq, d], k/v [B, H, Skv, d] -> [B, H, Sq, d]."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    # block sizes sized to VMEM: big blocks amortize the online-softmax
+    # rescales, but the fp32 score tile (bq x bk) plus q/k/v/acc must fit
+    if block_q is None:
+        block_q = 1024 if d <= 128 else 512
+    if block_k is None:
+        block_k = 1024 if d <= 128 else 512
     bq = min(block_q, sq)
     bk = min(block_k, skv)
     assert sq % bq == 0 and skv % bk == 0, (sq, skv, bq, bk)
@@ -211,7 +217,8 @@ def shared_flash_attention(
     v_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # each [B,H,N,d]
     include_input: bool = True,
     block_q: int = 1024,
-    block_k: int = 512,
+    block_k: int = 512,  # bk=1024 overflows the 16MB VMEM budget with the
+                         # resident input+ref segments at the 64x64 layer
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused widened attention over [input | ref_1 | ... | ref_N] K/V.
