@@ -107,3 +107,60 @@ def test_coach_smoke(data_root, tmp_path):
     assert (exp_dir / "logs" / "log.txt").exists()
     assert (exp_dir / "checkpoints" / "final").exists()
     assert (exp_dir / "logs" / "train_images").exists()
+
+
+def test_overfit_loss_decreases(data_root, tmp_path):
+    """The reference's de-facto training sanity check: loss should trend down
+    when overfitting one batch (SURVEY.md §4)."""
+    import jax
+    import numpy as np
+    from instantrestore_tpu.configs.config import TrainConfig
+    from instantrestore_tpu.models.restorer import init_restorer_params, restore_forward
+    from instantrestore_tpu.models.lora import trainable_mask
+    from instantrestore_tpu.training.optim import freeze_non_trainable, make_optimizer
+    import optax
+
+    train_root, _ = data_root
+    from instantrestore_tpu.data.datasets import RestoreDataset, collate
+
+    ds = RestoreDataset(train_root, resolution=64)
+    batch = collate([ds[0]])
+    batch = {k: v for k, v in batch.items() if k in ("image", "gt", "conditioning_images", "valid_indices")}
+
+    params = init_restorer_params(jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4)
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    mask = {
+        "unet": trainable_mask(params["unet"], extra_trainable=("conv_in",)),
+        "unet_orig_conv_in": trainable_mask(params["unet_orig_conv_in"]),
+        "vae": trainable_mask(params["vae"]),
+        "caption_enc": False,
+    }
+    cfg = TrainConfig()
+    cfg.optim.learning_rate = 3e-3
+    cfg.optim.lr_warmup_steps = 0
+    cfg.optim.lambda_l2 = 1.0
+    opt = make_optimizer(cfg.optim, max_steps=1000, trainable_mask=mask)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            p = freeze_non_trainable(p, mask)
+            out = restore_forward(
+                p, batch["image"], batch["conditioning_images"],
+                batch["valid_indices"], rng=rng, statics=TINY_STATICS, timestep=249,
+                sample_posterior=False,
+            )
+            return jnp.mean((out["output_image"] - batch["gt"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(15):
+        params, opt_state, loss = step(params, opt_state, rng)  # fixed rng: overfit
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.9, losses
