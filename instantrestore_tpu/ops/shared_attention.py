@@ -48,8 +48,14 @@ def _interpret_default() -> bool:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, scale):
+    """When the accumulator is wider than the head dim (d + 1 <= lanes), the
+    softmax row-sum rides the P @ V_pad matmul on the MXU via a ones column
+    in V (idle lanes at d=64) and the separate l accumulator is unused —
+    see _shared_kernel for the measured win."""
     j = pl.program_id(3)
     nj = pl.num_programs(3)
+    d = q_ref.shape[-1]
+    mxu_sum = acc.shape[-1] > d
 
     @pl.when(j == 0)
     def _():
@@ -66,20 +72,34 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK], logits in log2 units
     m_prev = m_scr[:, :1]
-    l_prev = l_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp2(s - m_new)
     alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    acc[:] = acc[:] * alpha + jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
+    if mxu_sum:
+        p = jnp.exp2((s - m_new).astype(v.dtype))
+        bk = v.shape[0]
+        pad = acc.shape[-1] - d - 1
+        v_pad = jnp.concatenate(
+            [v, jnp.ones((bk, 1), v.dtype), jnp.zeros((bk, pad), v.dtype)], axis=1
+        )
+        acc[:] = acc[:] * alpha + jax.lax.dot(
+            p, v_pad, preferred_element_type=jnp.float32
+        )
+    else:
+        p = jnp.exp2(s - m_new)
+        l_prev = l_scr[:, :1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc[:] = acc[:] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(j == nj - 1)
     def _():
-        o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if mxu_sum:
+            o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
 def flash_attention(
@@ -125,7 +145,8 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
+            # d + 1 <= 128: widened accumulator carries the MXU row-sum lane
+            pltpu.VMEM((bq, 128 if d < 128 else d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
