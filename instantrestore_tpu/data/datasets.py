@@ -46,6 +46,25 @@ SHARED_LAYER_STATS = [(20, 16)] * 3 + [(10, 32)] * 3 + [(5, 64)] * 3
 
 PROMPT = "A high-quality photo of a person; professional, 8k"
 
+# Fixed (height, width) of the facial-component crops fed to the adversarial
+# terms: the reference crops the bbox of the landmark-derived rect masks
+# (coach.py:207-218 over restore_dataset.py:233-263 rects) — away from image
+# borders those bboxes are exactly these sizes at 512px. Fixed sizes keep the
+# crop a static-shape dynamic_slice under jit; at borders the window is
+# shifted inward instead of shrunk (documented divergence).
+FACIAL_COMP_SIZES = ((71, 101), (71, 101), (91, 161))  # leye, reye, mouth @512
+# (dx, dy) from the landmark center to the window origin, at 512px
+FACIAL_COMP_OFFSETS = ((50, 50), (50, 50), (80, 30))
+
+
+def facial_comp_sizes(resolution: int):
+    """FACIAL_COMP_SIZES scaled from the reference's 512px geometry."""
+    s = resolution / 512.0
+    return tuple(
+        (max(2, int(round(h * s))), max(2, int(round(w * s))))
+        for h, w in FACIAL_COMP_SIZES
+    )
+
 
 class CoachDataset:
     """Base dataset (re-specified from the missing coach_dataset.py):
@@ -85,6 +104,7 @@ class RestoreDataset(CoachDataset):
         get_attn_pos_reg: bool = False,
         get_attn_neg_reg: bool = False,
         get_facial_comps: bool = False,
+        get_id_mats: bool = False,
         return_degradation_params: bool = False,
         seed: int = 0,
     ):
@@ -97,6 +117,7 @@ class RestoreDataset(CoachDataset):
         self.get_attn_pos_reg = get_attn_pos_reg
         self.get_attn_neg_reg = get_attn_neg_reg
         self.get_facial_comps = get_facial_comps
+        self.get_id_mats = get_id_mats
         self.return_degradation_params = return_degradation_params
         self.joined = PairedTrainTransform(resolution)
         self._seed = seed
@@ -182,6 +203,10 @@ class RestoreDataset(CoachDataset):
     # -- facial component masks (restore_dataset.py:233-263) ----------------
 
     def _facial_comps(self, identity_dir, image_path):
+        """Returns (masks, boxes): three [res,res] bool rect masks (for the
+        mask-multiply L2/LPIPS terms, coach.py:682-697) and [3,2] int32 (y0,
+        x0) crop origins of the fixed-size windows (FACIAL_COMP_SIZES) for
+        the adversarial crop terms (coach.py:243-254,272-286)."""
         lm = self._landmarks(identity_dir, image_path)
         if lm is None:
             return None
@@ -194,14 +219,24 @@ class RestoreDataset(CoachDataset):
             m[y0:y1, x0:x1] = True
             return m
 
+        s = res / 512.0
         lx, ly = int(lm[626][0]), int(lm[626][1])
         rx, ry = int(lm[590][0]), int(lm[590][1])
         mx, my = int(lm[0][0]), int(lm[0][1])
-        return (
-            rect(lx, ly, -50, -50, 51, 21),
-            rect(rx, ry, -50, -50, 51, 21),
-            rect(mx, my, -80, -30, 81, 61),
+        masks = (
+            rect(lx, ly, -int(50 * s), -int(50 * s), int(51 * s), int(21 * s)),
+            rect(rx, ry, -int(50 * s), -int(50 * s), int(51 * s), int(21 * s)),
+            rect(mx, my, -int(80 * s), -int(30 * s), int(81 * s), int(61 * s)),
         )
+        centers = ((lx, ly), (rx, ry), (mx, my))
+        sizes = facial_comp_sizes(res)
+        boxes = np.zeros((3, 2), np.int32)
+        for i, ((cx, cy), (ox, oy), (hh, ww)) in enumerate(
+            zip(centers, FACIAL_COMP_OFFSETS, sizes)
+        ):
+            boxes[i, 0] = np.clip(cy - int(round(oy * s)), 0, res - hh)
+            boxes[i, 1] = np.clip(cx - int(round(ox * s)), 0, res - ww)
+        return masks, boxes
 
     # -----------------------------------------------------------------------
 
@@ -258,7 +293,33 @@ class RestoreDataset(CoachDataset):
                 identity_dir, path, ref_paths, layer, chosen_cond, rng
             )
         if self.get_facial_comps:
-            item["facial_comps"] = self._facial_comps(identity_dir, path)
+            fc = self._facial_comps(identity_dir, path)
+            if fc is not None:
+                item["facial_comps"], item["facial_comp_boxes"] = fc
+            else:
+                item["facial_comps"] = None
+        if self.get_id_mats:
+            # aligned-crop ID loss: a 3-pt (eyes + mouth-center) similarity
+            # transform to the ArcFace 112px template from the GT landmarks.
+            # The same transform aligns pred and target — input/gt/pred share
+            # geometry by construction (the reference instead re-detects with
+            # MTCNN per step, criteria/utils.py:35-63).
+            from instantrestore_tpu.training.losses.id_loss import (
+                ARCFACE_REFERENCE_POINTS_3,
+                alignment_transforms,
+            )
+
+            lm = self._landmarks(identity_dir, path)
+            pts = (
+                np.stack([lm[626], lm[590], lm[0]]).astype(np.float32)
+                if lm is not None and len(lm) > 626
+                else None
+            )
+            mats, valid = alignment_transforms(
+                [pts], ref_points=ARCFACE_REFERENCE_POINTS_3
+            )
+            item["id_mat"] = mats[0]
+            item["id_valid"] = bool(valid[0])
         return item
 
 
@@ -340,6 +401,24 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
             batch["facial_comps"] = tuple(
                 np.stack([c[k] for c in comps]) for k in range(3)
             )
+            batch["facial_comp_boxes"] = np.stack(
+                [it["facial_comp_boxes"] for it in items]
+            )
+    if "id_mat" in items[0]:
+        mats = np.stack([it["id_mat"] for it in items]).astype(np.float32)
+        batch["id_mats_pred"] = mats
+        batch["id_mats_target"] = mats
+        batch["id_valid"] = np.asarray([it["id_valid"] for it in items], bool)
+    if "degradation_params" in items[0]:
+        ps = [it["degradation_params"] for it in items]
+        batch["degradation_params"] = {
+            "blur_sigma_x": np.asarray([p.blur_sigma_x for p in ps], np.float32),
+            "blur_sigma_y": np.asarray([p.blur_sigma_y for p in ps], np.float32),
+            "blur_rotation": np.asarray([p.blur_rotation for p in ps], np.float32),
+            "downsample_factor": np.asarray([p.downsample_factor for p in ps], np.int32),
+            "noise_sigma": np.asarray([p.noise_sigma for p in ps], np.float32),
+            "jpeg_quality": np.asarray([p.jpeg_quality for p in ps], np.int32),
+        }
     if "identity" in items[0]:
         batch["identity"] = [it["identity"] for it in items]
     return batch

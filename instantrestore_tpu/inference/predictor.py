@@ -62,6 +62,9 @@ class Predictor:
         dtype=jnp.bfloat16,
         use_fused_attention: Optional[bool] = None,
         seed: int = 0,
+        resolution: int = 512,
+        deterministic: bool = False,
+        face_embed_provider=None,
     ):
         if params is None:
             if checkpoint_path is None:
@@ -70,22 +73,53 @@ class Predictor:
         self.statics = statics or RestorerStatics()
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self.noise_timestep = noise_timestep
+        self.resolution = resolution
+        # deterministic: latent mode() instead of posterior sampling and a
+        # FIXED rng per call — the cross-framework parity mode (SURVEY §7
+        # "host-side variance"; reference samples latent_dist, pix2pix_turbo
+        # .py:291, so exact comparison requires pinning both sides)
+        self.deterministic = deterministic
         self.rng = jax.random.PRNGKey(seed)
+        self._seed = seed
+        # FaceID conditioning (condition_on_face_embeds checkpoints): the
+        # reference computes insightface buffalo_l normed embeddings per
+        # conditioning image (test.py:65-66,113-133). Here the provider is
+        # pluggable: a callable PIL.Image -> 512-d embedding (or None on
+        # detection failure -> zeros, matching test.py:118-120); defaults to
+        # insightface when installed, else precomputed embeds must be passed
+        # to predict().
+        if face_embed_provider is None and self.statics.condition_on_face_embeds:
+            face_embed_provider = _try_insightface_provider()
+        self.face_embed_provider = face_embed_provider
         if use_fused_attention is None:
             use_fused_attention = jax.default_backend() == "tpu"
         self._fused = use_fused_attention
 
-        def fwd(params, image, conds, valid, rng, save_attn):
+        def fwd(params, image, conds, valid, rng, save_attn, face_embeds=None):
             out = restore_forward(
                 params, image, conds, valid, rng=rng,
+                face_embeds=face_embeds,
                 statics=self.statics,
                 timestep=self.noise_timestep,
                 save_attn_probs=save_attn,
+                sample_posterior=not self.deterministic,
                 use_fused_attention=self._fused and not save_attn,
             )
             return out
 
         self._fwd = jax.jit(fwd, static_argnames=("save_attn",))
+
+    def compute_face_embeds(self, cond_imgs, max_refs: int = 4) -> np.ndarray:
+        """[N, 512] normed face embeddings of the conditioning images, zeros
+        where the provider finds no face (test.py:113-124 semantics)."""
+        embeds = []
+        for im in cond_imgs[:max_refs]:
+            e = self.face_embed_provider(im) if self.face_embed_provider else None
+            embeds.append(np.zeros(512, np.float32) if e is None else np.asarray(e, np.float32))
+        n = len(embeds)
+        for i in range(max_refs - n):
+            embeds.append(embeds[i % n])
+        return np.stack(embeds)
 
     # -- preprocessing (test.py:54-59) ----------------------------------
 
@@ -110,16 +144,28 @@ class Predictor:
         cond_imgs: Sequence[Image.Image],
         *,
         return_attention: bool = False,
+        face_embeds: Optional[np.ndarray] = None,
     ):
         """One restoration. Returns (PIL image, attention percentages|None)."""
-        image = jnp.asarray(self.prepare_image(input_img))[None]
-        conds, n_valid = self.prepare_conditioning_images(cond_imgs)
+        image = jnp.asarray(self.prepare_image(input_img, self.resolution))[None]
+        conds, n_valid = self.prepare_conditioning_images(
+            cond_imgs, resolution=self.resolution
+        )
         # the reference Predictor always claims 4 valid refs after padding
         # (test.py:96: valid_indices = 4)
         valid = jnp.full((1,), conds.shape[0], jnp.int32)
-        self.rng, r = jax.random.split(self.rng)
+        if self.deterministic:
+            r = jax.random.PRNGKey(self._seed)
+        else:
+            self.rng, r = jax.random.split(self.rng)
+        fe = None
+        if self.statics.condition_on_face_embeds:
+            if face_embeds is None:
+                face_embeds = self.compute_face_embeds(cond_imgs)
+            fe = jnp.asarray(face_embeds, jnp.float32)[None]
         out = self._fwd(
-            self.params, image, jnp.asarray(conds)[None], valid, r, return_attention
+            self.params, image, jnp.asarray(conds)[None], valid, r,
+            return_attention, fe,
         )
         pred = np.asarray(out["output_image"][0], np.float32)
         pil = Image.fromarray((denormalize_pm1(pred) * 255).astype(np.uint8))
@@ -160,6 +206,25 @@ class Predictor:
             ][:max_refs]
             pred, _ = self.predict(Image.open(degraded).convert("RGB"), conds)
             pred.save(out_dir / f"{identity.name}.png")
+
+
+def _try_insightface_provider():
+    """insightface buffalo_l provider when the package is installed (the
+    reference's FaceAnalysis path, test.py:65-66); None otherwise."""
+    try:
+        from insightface.app import FaceAnalysis
+    except Exception:
+        return None
+    app = FaceAnalysis(name="buffalo_l", providers=["CPUExecutionProvider"])
+    app.prepare(ctx_id=-1, det_size=(640, 640))
+
+    def provider(image):
+        faces = app.get(np.array(image))
+        if not faces:
+            return None
+        return np.asarray(faces[0].normed_embedding, np.float32)
+
+    return provider
 
 
 def load_predictor_params(checkpoint_path: str, statics: Optional[RestorerStatics]):

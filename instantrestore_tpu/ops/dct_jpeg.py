@@ -91,6 +91,58 @@ def _channel_jpeg(x: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
     return _unblockify(blocks)
 
 
+def _scaled_table_traced(table: np.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample quantization tables from a TRACED quality array [B].
+
+    Same Annex-K scaling as ``_scaled_table`` but in jnp so the JPEG quality
+    can be a batch operand (cycle loss re-degrades predictions with the exact
+    per-item qualities the data pipeline sampled)."""
+    q = jnp.clip(quality.astype(jnp.float32), 1.0, 100.0)
+    s = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)  # [B]
+    t = jnp.asarray(table)[None] * s[:, None, None]
+    return jnp.clip(jnp.floor((t + 50.0) / 100.0), 1.0, 255.0)
+
+
+def _channel_jpeg_traced(x: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W] centered at 0; tables: [B, 8, 8] per-sample."""
+    d = jnp.asarray(_dct_matrix())
+    blocks = _blockify(x)
+    coeffs = jnp.einsum("ki,bnmij,lj->bnmkl", d, blocks, d)
+    q = tables[:, None, None]  # [B, 1, 1, 8, 8]
+    coeffs = _diff_round(coeffs / q) * q
+    blocks = jnp.einsum("ik,bnmkl,jl->bnmij", d, coeffs, d)
+    return _unblockify(blocks)
+
+
+def jpeg_compress_dct_traced(images_01: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] in [0,1], quality [B] traced -> differentiable JPEG."""
+    x = images_01.astype(jnp.float32) * 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def down(c):
+        bsz, h, w = c.shape
+        return c.reshape(bsz, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+    def up(c, h, w):
+        return jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)[:, :h, :w]
+
+    h, w = y.shape[1:]
+    lt = _scaled_table_traced(_LUMA_TABLE, quality)
+    ct = _scaled_table_traced(_CHROMA_TABLE, quality)
+    y2 = _channel_jpeg_traced(y - 128.0, lt) + 128.0
+    cb2 = up(_channel_jpeg_traced(down(cb) - 128.0, ct) + 128.0, h, w)
+    cr2 = up(_channel_jpeg_traced(down(cr) - 128.0, ct) + 128.0, h, w)
+
+    r2 = y2 + 1.402 * (cr2 - 128.0)
+    g2 = y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)
+    b2 = y2 + 1.772 * (cb2 - 128.0)
+    out = jnp.stack([r2, g2, b2], axis=-1) / 255.0
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def jpeg_compress_dct(images_01: jnp.ndarray, quality: int) -> jnp.ndarray:
     """[B, H, W, 3] in [0,1] -> differentiable JPEG round trip (4:2:0)."""
     x = images_01.astype(jnp.float32) * 255.0

@@ -74,6 +74,104 @@ def gaussian_blur(images: jnp.ndarray, sigma_x: float, sigma_y: float,
     )
 
 
+def _aniso_kernels_traced(
+    sigma_x: jnp.ndarray, sigma_y: jnp.ndarray, rotation: jnp.ndarray,
+    kernel_size: int = 41,
+) -> jnp.ndarray:
+    """Per-sample rotated 2-D Gaussian kernels [B, k, k] from TRACED params
+    (jnp twin of data/degradations.anisotropic_gaussian_kernel)."""
+    sx2 = jnp.square(sigma_x.astype(jnp.float32))
+    sy2 = jnp.square(sigma_y.astype(jnp.float32))
+    c, s = jnp.cos(rotation), jnp.sin(rotation)
+    # sigma = U diag(sx2, sy2) U^T; closed-form 2x2 inverse
+    a = c * c * sx2 + s * s * sy2
+    b_ = c * s * (sx2 - sy2)
+    d = s * s * sx2 + c * c * sy2
+    det = a * d - b_ * b_
+    ia, ib, id_ = d / det, -b_ / det, a / det  # [B]
+    ax = jnp.arange(-(kernel_size // 2) + 0.0, kernel_size // 2 + 1.0)
+    xx, yy = jnp.meshgrid(ax, ax)  # matches np.meshgrid(ax, ax) in degradations.py
+    quad = (
+        ia[:, None, None] * xx[None] ** 2
+        + 2.0 * ib[:, None, None] * xx[None] * yy[None]
+        + id_[:, None, None] * yy[None] ** 2
+    )
+    k = jnp.exp(-0.5 * quad)
+    return k / k.sum(axis=(1, 2), keepdims=True)
+
+
+def gaussian_blur_per_sample(
+    images: jnp.ndarray, sigma_x: jnp.ndarray, sigma_y: jnp.ndarray,
+    rotation: jnp.ndarray, kernel_size: int = 41,
+) -> jnp.ndarray:
+    """Anisotropic blur with a DIFFERENT kernel per batch item (traced
+    [B] params). One grouped conv: batch folded into channels, per-channel
+    filters (feature_group_count = B*C keeps it a depthwise conv on the VPU/
+    MXU rather than B separate convs)."""
+    b, h, w, c = images.shape
+    k = _aniso_kernels_traced(sigma_x, sigma_y, rotation, kernel_size)  # [B,k,k]
+    x = images.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)
+    kern = jnp.repeat(k.transpose(1, 2, 0), c, axis=2)[:, :, None, :]  # [k,k,1,B*C]
+    pad = kernel_size // 2
+    y = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=b * c,
+    )
+    return y.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+
+
+# the 12 possible downsample factors of the training degradation
+# (restore_dataset.py:148: np.random.randint(1, 13)); sizes snapped to
+# multiples of 16 so the 8x8 DCT blocks + 4:2:0 subsampling tile exactly
+_CYCLE_FACTORS = tuple(range(1, 13))
+
+
+def degrade_with_params(
+    images_01: jnp.ndarray,
+    params: dict,
+    rng: jax.Array,
+    *,
+    resolution: int = 512,
+) -> jnp.ndarray:
+    """Jittable re-degradation with the EXACT per-item parameters the host
+    data pipeline used — the cycle loss (reference coach.py:619-629 applies
+    batch['degrade_transforms'] to the prediction).
+
+    ``params`` is the collated dict of [B] arrays from
+    data/degradations.DegradationParams: blur_sigma_x/y, blur_rotation,
+    downsample_factor (int), noise_sigma (0-255 units), jpeg_quality (int).
+
+    The per-item downsample factor is data-dependent; static shapes are kept
+    by evaluating all 12 factor branches batch-wide and selecting per item
+    (cheap next to the UNet; only runs when lambda_cycle > 0). Divergences
+    from the host chain (documented): DCT-quantization JPEG instead of
+    libjpeg, and intermediate sizes snapped to multiples of 16.
+    """
+    x = gaussian_blur_per_sample(
+        images_01, params["blur_sigma_x"], params["blur_sigma_y"],
+        params["blur_rotation"],
+    )
+    b, h, w, c = x.shape
+    factor = params["downsample_factor"].astype(jnp.int32)  # [B]
+    sigma = params["noise_sigma"].astype(jnp.float32) / 255.0
+    quality = params["jpeg_quality"]
+
+    out = jnp.zeros_like(x)
+    for f in _CYCLE_FACTORS:
+        nh = max(16, (h // f) // 16 * 16)
+        nw = max(16, (w // f) // 16 * 16)
+        y = jax.image.resize(x, (b, nh, nw, c), "linear", antialias=True)
+        noise = jax.random.normal(jax.random.fold_in(rng, f), y.shape, y.dtype)
+        y = jnp.clip(y + noise * sigma[:, None, None, None], 0.0, 1.0)
+        from instantrestore_tpu.ops.dct_jpeg import jpeg_compress_dct_traced
+
+        y = jpeg_compress_dct_traced(y, quality)
+        y = jax.image.resize(y, (b, resolution, resolution, c), "linear")
+        sel = (factor == f)[:, None, None, None]
+        out = jnp.where(sel, jnp.clip(y, 0.0, 1.0), out)
+    return out
+
+
 def degrade_on_device(
     images_01: jnp.ndarray,
     rng: jax.Array,

@@ -195,6 +195,8 @@ class Coach:
                 get_attn_pos_reg=cfg.optim.lambda_pos_reg > 0,
                 get_attn_neg_reg=cfg.optim.lambda_neg_reg > 0,
                 get_facial_comps=cfg.optim.lambda_facial_comp > 0,
+                get_id_mats=cfg.optim.lambda_id_loss > 0 and self.arcface_params is not None,
+                return_degradation_params=cfg.optim.lambda_cycle > 0,
                 seed=cfg.compute.seed,
             )
             test = RestoreDatasetTest(
@@ -230,8 +232,25 @@ class Coach:
             or cfg.optim.lambda_neg_reg > 0
         )
 
-        def g_step(params, g_opt_state, disc_heads, batch, rng):
-            r_fwd, r_loss = jax.random.split(rng)
+        def g_step(params, g_opt_state, disc_heads, batch, rng, landmark_layer=None):
+            r_fwd, r_loss, r_cycle = jax.random.split(rng, 3)
+
+            degrade_fn = None
+            if cfg.optim.lambda_cycle > 0 and "degradation_params" in batch:
+                from instantrestore_tpu.ops.image_ops import degrade_with_params
+
+                def degrade_fn(pred_pm1):
+                    # reference coach.py:619-629 re-applies the batch's own
+                    # degrade transforms to the prediction; on device we use
+                    # the per-item parameters (in [0,1] domain — the torch
+                    # code's range handling is sloppy there; see image_ops)
+                    deg = degrade_with_params(
+                        (pred_pm1 + 1.0) * 0.5,
+                        batch["degradation_params"],
+                        r_cycle,
+                        resolution=pred_pm1.shape[1],
+                    )
+                    return deg * 2.0 - 1.0
 
             def loss_fn(p):
                 p = freeze_non_trainable(p, self.g_mask)
@@ -255,6 +274,8 @@ class Coach:
                     disc_heads=disc_heads,
                     vit_cfg=self.vit_cfg,
                     train_input=statics.train_input,
+                    degrade_fn=degrade_fn,
+                    landmark_layer=landmark_layer,
                 )
                 return total, (losses, out["output_image"])
 
@@ -263,27 +284,55 @@ class Coach:
             params = optax.apply_updates(params, updates)
             return params, g_opt_state, losses, pred
 
-        def d_step(disc_heads, d_opt_state, pred, real, rng):
+        def d_step(disc_heads, d_opt_state, pred, real, boxes, rng):
             r1, r2 = jax.random.split(rng)
+            fake = jax.lax.stop_gradient(pred)
 
             def loss_fn(heads):
-                l_real, heads1 = gan_mod.discriminate(
+                l_real, heads = gan_mod.discriminate(
                     self.disc_backbone, heads, real, r1, for_real=True,
                     vit_cfg=self.vit_cfg,
                 )
-                l_fake, heads2 = gan_mod.discriminate(
-                    self.disc_backbone, heads1, jax.lax.stop_gradient(pred), r2,
+                l_fake, heads = gan_mod.discriminate(
+                    self.disc_backbone, heads, fake, r2,
                     for_real=False, vit_cfg=self.vit_cfg,
                 )
                 loss = 0.5 * (l_real.mean() + l_fake.mean()) * cfg.optim.lambda_gan
-                return loss, heads2
+                if boxes is not None:
+                    # facial-component D terms on eye/mouth crops of BOTH the
+                    # real image and the detached prediction
+                    # (coach.py:272-286: 6 terms, weighted lambda_gan *
+                    # lambda_facial_comp, not halved)
+                    from instantrestore_tpu.data.datasets import facial_comp_sizes
+                    from instantrestore_tpu.training.losses.composite import (
+                        crop_with_boxes,
+                    )
+
+                    fc = jnp.asarray(0.0, jnp.float32)
+                    for i, (hh, ww) in enumerate(facial_comp_sizes(real.shape[1])):
+                        o = boxes[:, i]
+                        rc = crop_with_boxes(real, o, hh, ww)
+                        fcp = crop_with_boxes(fake, o, hh, ww)
+                        lr, heads = gan_mod.discriminate(
+                            self.disc_backbone, heads, rc,
+                            jax.random.fold_in(r1, i + 1), for_real=True,
+                            vit_cfg=self.vit_cfg,
+                        )
+                        lf, heads = gan_mod.discriminate(
+                            self.disc_backbone, heads, fcp,
+                            jax.random.fold_in(r2, i + 1), for_real=False,
+                            vit_cfg=self.vit_cfg,
+                        )
+                        fc += lr.mean() + lf.mean()
+                    loss += fc * cfg.optim.lambda_gan * cfg.optim.lambda_facial_comp
+                return loss, heads
 
             (loss, new_heads), grads = jax.value_and_grad(loss_fn, has_aux=True)(disc_heads)
             updates, d_opt_state = self.d_opt.update(grads, d_opt_state, disc_heads)
             disc_heads = optax.apply_updates(new_heads, updates)
             return disc_heads, d_opt_state, loss
 
-        self._g_step = jax.jit(g_step)
+        self._g_step = jax.jit(g_step, static_argnames=("landmark_layer",))
         self._d_step = jax.jit(d_step) if self.disc_heads is not None else None
 
         def eval_step(params, batch, rng):
@@ -309,13 +358,34 @@ class Coach:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
+        """Host batch -> device batch. Returns (dev_batch, landmark_layer):
+        batch-dim-0 keys shard on the data axis; the landmark-attention
+        target (item 0's map, reference batch=1 semantics coach.py:631-640)
+        is replicated, and its layer index is returned as a host int — the
+        jitted g_step specializes on it (shapes differ per layer)."""
         keep = {
             k: v
             for k, v in batch.items()
             if k in ("image", "gt", "conditioning_images", "valid_indices",
-                     "pos_reg_idx", "neg_reg_idx", "facial_comps")
+                     "pos_reg_idx", "neg_reg_idx", "facial_comps",
+                     "facial_comp_boxes", "degradation_params",
+                     "id_mats_pred", "id_mats_target", "id_valid")
         }
-        return shard_batch(self.mesh, keep)
+        dev = shard_batch(self.mesh, keep)
+        landmark_layer = None
+        if batch.get("gt_attn_probs") is not None:
+            probs, masks, layers, conds = batch["gt_attn_probs"]
+            landmark_layer = int(layers[0])
+            rep = replicate_params(
+                self.mesh,
+                {
+                    "gt_attn_probs": np.asarray(probs[0], np.float32)[None],
+                    "gt_attn_mask": np.asarray(masks[0], bool)[None],
+                    "gt_attn_cond": np.int32(conds[0]),
+                },
+            )
+            dev.update(rep)
+        return dev, landmark_layer
 
     def train(self):
         cfg = self.cfg
@@ -326,13 +396,15 @@ class Coach:
                 if self.train_step_num >= cfg.steps.max_steps:
                     break
                 rng, r_g, r_d = jax.random.split(rng, 3)
-                dev_batch = self._device_batch(batch)
+                dev_batch, landmark_layer = self._device_batch(batch)
                 self.params, self.g_opt_state, losses, pred = self._g_step(
-                    self.params, self.g_opt_state, self.disc_heads, dev_batch, r_g
+                    self.params, self.g_opt_state, self.disc_heads, dev_batch, r_g,
+                    landmark_layer=landmark_layer,
                 )
                 if self._d_step is not None:
                     self.disc_heads, self.d_opt_state, d_loss = self._d_step(
-                        self.disc_heads, self.d_opt_state, pred, dev_batch["gt"], r_d
+                        self.disc_heads, self.d_opt_state, pred, dev_batch["gt"],
+                        dev_batch.get("facial_comp_boxes"), r_d,
                     )
                     losses["loss_d"] = d_loss
 
@@ -363,9 +435,24 @@ class Coach:
         vis_done = False
         count = 0
         for batch in self.test_loader:
-            if batch["image"].shape[0] % self.device_count != 0 and self.device_count > 1:
-                continue  # uneven remainder on the mesh
-            dev_batch = self._device_batch(batch)
+            rem = batch["image"].shape[0] % self.device_count
+            if rem != 0 and self.device_count > 1:
+                # pad the remainder batch to the mesh by repeating the last
+                # item (val means get a small repeated-sample bias on the
+                # final batch — logged, never silently dropped)
+                pad = self.device_count - rem
+                self.logger.log_message(
+                    f"validate: padding uneven batch by {pad} repeated item(s)"
+                )
+                batch = {
+                    k: (
+                        np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                        if isinstance(v, np.ndarray) and v.ndim >= 1
+                        else v
+                    )
+                    for k, v in batch.items()
+                }
+            dev_batch, _ = self._device_batch(batch)
             losses, pred = self._eval_step(self.params, dev_batch, rng)
             losses = jax.device_get(losses)
             for k, v in losses.items():

@@ -30,21 +30,23 @@ from instantrestore_tpu.training.losses.ssim import ms_ssim
 
 def landmark_attention_loss(
     pred_probs: jnp.ndarray,  # [B, heads, q, K] (widened)
-    gt_probs: jnp.ndarray,    # [B, heads, q, q] gaussian-splatted targets
-    mask: jnp.ndarray,        # [B, q] bool landmark positions
-    chosen_cond: jnp.ndarray, # scalar int: KV segment index
+    gt_probs: jnp.ndarray,    # [1|B, heads, q, q] gaussian-splatted targets
+    mask: jnp.ndarray,        # [1|B, q] bool landmark positions
+    chosen_cond: jnp.ndarray, # scalar int: KV segment index (traced)
 ) -> jnp.ndarray:
     """coach.py:531-560: min-max-normalize both maps, slice the chosen
-    conditioning segment, masked MSE over landmark query rows."""
+    conditioning segment, masked MSE over landmark query rows. The mean is
+    over the selected elements (masked rows x heads x key-pixels x batch),
+    matching the reference's boolean-index mean."""
     pf = pred_probs.astype(jnp.float32)
     pf = (pf - pf.min()) / (pf.max() - pf.min() + 1e-12)
     gf = gt_probs.astype(jnp.float32)
     gf = (gf - gf.min()) / (gf.max() - gf.min() + 1e-12)
-    q = pred_probs.shape[2]
+    b, h, q, _ = pred_probs.shape
     seg = jax.lax.dynamic_slice_in_dim(pf, chosen_cond * q, q, axis=3)
     w = mask[:, None, :, None].astype(jnp.float32)
     num = (jnp.square(seg - gf) * w).sum()
-    den = w.sum() * seg.shape[1] * seg.shape[3]
+    den = w.sum() * h * q * (b // mask.shape[0])
     return num / jnp.maximum(den, 1.0)
 
 
@@ -95,6 +97,17 @@ def pos_neg_reg_loss(means: jnp.ndarray, target_idx: jnp.ndarray, *, negative: b
     return -log_p[0, target_idx]
 
 
+def crop_with_boxes(images: jnp.ndarray, origins: jnp.ndarray, h: int, w: int):
+    """Fixed-size per-sample crops: images [B,H,W,C], origins [B,2] (y0,x0)
+    -> [B,h,w,C]. Static-shape twin of the reference's mask-bbox crop
+    (coach.py:207-218)."""
+
+    def one(img, o):
+        return jax.lax.dynamic_slice(img, (o[0], o[1], 0), (h, w, img.shape[-1]))
+
+    return jax.vmap(one)(images, origins.astype(jnp.int32))
+
+
 def compute_generator_loss(
     out: Dict[str, Any],
     batch: Dict[str, Any],
@@ -108,6 +121,7 @@ def compute_generator_loss(
     vit_cfg=None,
     train_input: bool = True,
     degrade_fn=None,
+    landmark_layer: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     pred = out["output_image"].astype(jnp.float32)
     gts = batch["gt"].astype(jnp.float32)
@@ -156,13 +170,22 @@ def compute_generator_loss(
         ).mean()
         total += losses["loss_cycle"] * cfg.lambda_cycle
 
-    if cfg.lambda_landmark > 0 and attn_probs and batch.get("gt_attn_probs") is not None:
-        gt_probs, masks, layers, conds = batch["gt_attn_probs"]
-        # reference handles batch=1 (coach.py:633 TODO); same constraint here
-        layer = int(layers[0])
+    if (
+        cfg.lambda_landmark > 0
+        and attn_probs
+        and landmark_layer is not None
+        and batch.get("gt_attn_probs") is not None
+    ):
+        # The chosen layer arrives as a STATIC python int (jit specializes on
+        # it — shapes differ per layer anyway: 9 variants max). The target
+        # map / mask / segment index are traced operands. Like the reference
+        # (coach.py:631-640 'works for 1 batch' TODO) item 0's target is
+        # compared against the whole batch's probs at that layer.
         losses["loss_landmark"] = landmark_attention_loss(
-            attn_probs[layer], jnp.asarray(gt_probs[0])[None],
-            jnp.asarray(masks[0])[None], jnp.asarray(int(conds[0])),
+            attn_probs[landmark_layer],
+            batch["gt_attn_probs"],
+            batch["gt_attn_mask"],
+            batch["gt_attn_cond"],
         )
         total += losses["loss_landmark"] * cfg.lambda_landmark
 
@@ -198,6 +221,7 @@ def compute_generator_loss(
         )
 
     if cfg.lambda_gan > 0 and disc_backbone is not None and disc_heads is not None:
+        from instantrestore_tpu.data.datasets import facial_comp_sizes
         from instantrestore_tpu.models.vit import DINOV2_VITL14
 
         g_loss, _ = gan_mod.discriminate(
@@ -206,6 +230,23 @@ def compute_generator_loss(
         )
         losses["loss_g"] = g_loss.mean()
         total += losses["loss_g"] * cfg.lambda_gan
+
+        # facial-component adversarial G terms on eye/mouth crops
+        # (coach.py:243-254: D(crop, for_G) per component, weighted by
+        # lambda_gan * lambda_facial_comp)
+        if cfg.lambda_facial_comp > 0 and batch.get("facial_comp_boxes") is not None:
+            fc_g = jnp.asarray(0.0, jnp.float32)
+            for i, (hh, ww) in enumerate(facial_comp_sizes(pred.shape[1])):
+                crop = crop_with_boxes(
+                    out["output_image"], batch["facial_comp_boxes"][:, i], hh, ww
+                )
+                gi, _ = gan_mod.discriminate(
+                    disc_backbone, disc_heads, crop, jax.random.fold_in(rng, i + 1),
+                    for_g=True, update_sn=False, vit_cfg=vit_cfg or DINOV2_VITL14,
+                )
+                fc_g += gi.mean()
+            losses["fc_loss_g"] = fc_g
+            total += fc_g * cfg.lambda_gan * cfg.lambda_facial_comp
 
     losses["loss"] = total
     return total, losses

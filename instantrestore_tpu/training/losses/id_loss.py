@@ -39,6 +39,19 @@ ARCFACE_REFERENCE_POINTS = np.array(
     np.float32,
 )
 
+# 3-point template (left eye, right eye, mouth center = mean of the template
+# mouth corners) for datasets that carry eye/mouth landmarks but not the full
+# MTCNN 5-point set (the reference extracts 5 points per step with MTCNN,
+# criteria/utils.py:35-63; a 3-point similarity fit is the TPU-friendly
+# dataset-side equivalent)
+ARCFACE_REFERENCE_POINTS_3 = np.stack(
+    [
+        ARCFACE_REFERENCE_POINTS[0],
+        ARCFACE_REFERENCE_POINTS[1],
+        ARCFACE_REFERENCE_POINTS[3:5].mean(axis=0),
+    ]
+).astype(np.float32)
+
 IR50_BLOCKS = [(64, 64, 3), (64, 128, 4), (128, 256, 14), (256, 512, 3)]
 
 
@@ -93,13 +106,16 @@ def similarity_transform(src_pts: np.ndarray, dst_pts: np.ndarray,
 
 
 def alignment_transforms(
-    landmarks: List[Optional[np.ndarray]], output_size: int = 112
+    landmarks: List[Optional[np.ndarray]], output_size: int = 112,
+    ref_points: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-sample 2x3 transforms + validity mask from 5-pt landmarks
+    """Per-sample 2x3 transforms + validity mask from landmark points
     (criteria/utils.py:35-63: identity transform and invalid flag when
-    detection failed)."""
+    detection failed). ``ref_points`` defaults to the 5-pt ArcFace template;
+    pass ARCFACE_REFERENCE_POINTS_3 for eye/eye/mouth-center landmarks."""
     mats, valid = [], []
-    ref = ARCFACE_REFERENCE_POINTS / 112.0 * output_size
+    base = ARCFACE_REFERENCE_POINTS if ref_points is None else ref_points
+    ref = base / 112.0 * output_size
     for lm in landmarks:
         if lm is None:
             mats.append(np.eye(2, 3, dtype=np.float32))

@@ -1,0 +1,193 @@
+"""Unit tests for the attention-side losses and the cycle-degrade op
+(VERDICT.md round-1: these had no direct coverage).
+
+Each test checks the jitted function against a straightforward numpy
+re-derivation of the reference math (coach.py:531-560 landmark,
+:599-617 entropy reg, :642-680 pos/neg reg) — property tests, not imports.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantrestore_tpu.training.losses.composite import (
+    attention_entropy_reg,
+    crop_with_boxes,
+    landmark_attention_loss,
+    pos_neg_reg_loss,
+    reference_usage_means,
+)
+
+
+def _np_landmark_loss(pred, gt, mask, cond):
+    """Reference math (coach.py:531-560) in plain numpy."""
+    p = (pred - pred.min()) / (pred.max() - pred.min())
+    g = (gt - gt.min()) / (gt.max() - gt.min())
+    q = pred.shape[2]
+    seg = p[:, :, :, cond * q:(cond + 1) * q]
+    m = np.broadcast_to(mask[:, None, :, None], seg.shape)
+    return np.mean((seg[m] - np.broadcast_to(g, seg.shape)[m]) ** 2)
+
+
+def test_landmark_loss_matches_numpy():
+    rng = np.random.default_rng(0)
+    b, h, q, n_seg = 1, 2, 16, 5
+    pred = rng.uniform(0, 1, (b, h, q, n_seg * q)).astype(np.float32)
+    gt = rng.uniform(0, 1, (b, h, q, q)).astype(np.float32)
+    mask = rng.uniform(0, 1, (b, q)) > 0.5
+    mask[0, 0] = True  # at least one row
+    for cond in [0, 2, 4]:
+        want = _np_landmark_loss(pred, gt, mask, cond)
+        got = float(
+            landmark_attention_loss(
+                jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask),
+                jnp.asarray(cond),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_landmark_loss_zero_on_perfect_match():
+    rng = np.random.default_rng(1)
+    b, h, q = 1, 2, 16
+    gt = rng.uniform(0, 1, (b, h, q, q)).astype(np.float32)
+    pred = np.concatenate([gt, rng.uniform(0, 1, (b, h, q, 4 * q))], axis=3)
+    # force shared min/max so normalization maps both to the same range
+    pred[0, 0, 0, 0] = 0.0
+    pred[0, 0, 0, 1] = 1.0
+    gt[0, 0, 0, 0] = 0.0
+    gt[0, 0, 0, 1] = 1.0
+    pred[:, :, :, :q] = gt
+    mask = np.ones((b, q), bool)
+    got = float(
+        landmark_attention_loss(
+            jnp.asarray(pred.astype(np.float32)), jnp.asarray(gt), jnp.asarray(mask),
+            jnp.asarray(0),
+        )
+    )
+    assert got < 1e-10
+
+
+def test_entropy_reg_prefers_uniform_usage():
+    """Uniform per-segment usage must score lower than collapsed usage."""
+    b, h, q, n = 1, 2, 8, 5
+    rng = np.random.default_rng(2)
+    # collapsed: every query's max segment is #1
+    collapsed = np.full((b, h, q, n * q), 0.1, np.float32)
+    collapsed[:, :, :, q:2 * q] = 1.0
+    # spread: max segment rotates uniformly over the 4 ref segments
+    spread = np.full((b, h, q, n * q), 0.1, np.float32)
+    for i in range(q):
+        s = 1 + i % 4
+        spread[:, :, i, s * q:(s + 1) * q] = 1.0
+    lc = float(attention_entropy_reg([jnp.asarray(collapsed)], n))
+    ls = float(attention_entropy_reg([jnp.asarray(spread)], n))
+    assert ls < lc
+
+
+def test_pos_neg_reg_direction():
+    """pos reg decreases as the target segment's mass grows; neg reg the
+    opposite (coach.py:656-680 NLL semantics)."""
+    means_lo = jnp.asarray([1.0, 0.2, 1.0, 1.0, 1.0])
+    means_hi = jnp.asarray([1.0, 3.0, 1.0, 1.0, 1.0])
+    tgt = jnp.asarray(1)
+    pos_lo = float(pos_neg_reg_loss(means_lo, tgt, negative=False))
+    pos_hi = float(pos_neg_reg_loss(means_hi, tgt, negative=False))
+    assert pos_hi < pos_lo
+    neg_lo = float(pos_neg_reg_loss(means_lo, tgt, negative=True))
+    neg_hi = float(pos_neg_reg_loss(means_hi, tgt, negative=True))
+    assert neg_lo < neg_hi
+
+
+def test_reference_usage_means_segments():
+    rng = np.random.default_rng(3)
+    q0, q1 = 4, 9
+    p0 = rng.uniform(0, 1, (1, 2, q0, 5 * q0)).astype(np.float32)
+    p1 = rng.uniform(0, 1, (1, 1, q1, 5 * q1)).astype(np.float32)
+    probs = [jnp.asarray(p0), jnp.asarray(p1)]
+    got = np.asarray(reference_usage_means(probs, jnp.asarray(1), [q0, q1]))
+    want = p1.reshape(1, 1, q1, 5, q1).sum(axis=(0, 1, 2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_crop_with_boxes_matches_slices():
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+    origins = np.array([[0, 0], [5, 7], [20, 24]], np.int32)
+    out = np.asarray(crop_with_boxes(jnp.asarray(imgs), jnp.asarray(origins), 8, 6))
+    for i, (y, x) in enumerate(origins):
+        np.testing.assert_array_equal(out[i], imgs[i, y:y + 8, x:x + 6])
+
+
+def test_degrade_with_params_selects_factor_and_differentiates():
+    """degrade_with_params must (a) track the host chain's factor selection,
+    (b) stay in [0,1], (c) be differentiable (cycle loss backprops through)."""
+    from instantrestore_tpu.ops.image_ops import degrade_with_params
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    params = {
+        "blur_sigma_x": np.array([0.5, 6.0], np.float32),
+        "blur_sigma_y": np.array([0.5, 2.0], np.float32),
+        "blur_rotation": np.array([0.0, 1.0], np.float32),
+        "downsample_factor": np.array([1, 4], np.int32),
+        "noise_sigma": np.array([10.0, 20.0], np.float32),
+        "jpeg_quality": np.array([15, 10], np.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(
+        degrade_with_params(jnp.asarray(imgs), params, key, resolution=64)
+    )
+    assert out.shape == imgs.shape
+    assert (out >= 0).all() and (out <= 1).all()
+    # item 1 (factor 4, heavy blur) must be more degraded than item 0
+    err0 = np.abs(out[0] - imgs[0]).mean()
+    err1 = np.abs(out[1] - imgs[1]).mean()
+    assert err1 > err0
+
+    def f(x):
+        return degrade_with_params(x, params, key, resolution=64).sum()
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(imgs)))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+def test_traced_jpeg_matches_static_tables():
+    """jpeg_compress_dct_traced == jpeg_compress_dct when quality matches."""
+    from instantrestore_tpu.ops.dct_jpeg import (
+        jpeg_compress_dct,
+        jpeg_compress_dct_traced,
+    )
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    for q in [10, 19, 50, 90]:
+        a = np.asarray(jpeg_compress_dct(jnp.asarray(x), q))
+        b = np.asarray(
+            jpeg_compress_dct_traced(jnp.asarray(x), jnp.full((2,), q, jnp.int32))
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_per_sample_blur_matches_host_kernel():
+    """gaussian_blur_per_sample reproduces the host anisotropic kernel."""
+    import cv2
+
+    from instantrestore_tpu.data.degradations import anisotropic_gaussian_kernel
+    from instantrestore_tpu.ops.image_ops import gaussian_blur_per_sample
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    sx, sy, rot = 3.0, 1.0, 0.7
+    want = cv2.filter2D(
+        img, -1, anisotropic_gaussian_kernel(41, sx, sy, rot),
+        borderType=cv2.BORDER_CONSTANT,
+    )
+    got = np.asarray(
+        gaussian_blur_per_sample(
+            jnp.asarray(img)[None],
+            jnp.asarray([sx]), jnp.asarray([sy]), jnp.asarray([rot]),
+        )
+    )[0]
+    np.testing.assert_allclose(got, want, atol=2e-5)
