@@ -67,9 +67,13 @@ def main():
 
     eng = ServingEngine(params, statics, use_fused_attention=True)
 
+    # uint8 in: preprocessing (resize/crop/normalize) runs INSIDE the compiled
+    # restore program (BASELINE "fused preprocessing + VAE + UNet")
     key = jax.random.PRNGKey(1)
-    refs = jax.random.normal(key, (n_ident, n_refs, res, res, 3), jnp.float32)
-    images = jax.random.normal(jax.random.PRNGKey(2), (batch, res, res, 3), jnp.float32)
+    refs = jax.random.randint(key, (n_ident, n_refs, res, res, 3), 0, 256, jnp.uint8)
+    images = jax.random.randint(
+        jax.random.PRNGKey(2), (batch, res, res, 3), 0, 256, jnp.uint8
+    )
     ids = jnp.arange(batch, dtype=jnp.int32) % n_ident
 
     # compile, then measure steady-state onboarding

@@ -27,6 +27,16 @@ from instantrestore_tpu.models.restorer import (
     restore_forward,
 )
 from instantrestore_tpu.models import scheduler as sched
+from instantrestore_tpu.ops.image_ops import preprocess as preprocess_op
+
+
+def _maybe_preprocess(images: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] -> preprocessed [-1,1] [B, res, res, 3] INSIDE the
+    compiled program (BASELINE "fused preprocessing + VAE + UNet"); float
+    inputs are assumed already normalized (backward-compatible path)."""
+    if images.dtype == jnp.uint8:
+        return preprocess_op(images.astype(jnp.float32) / 255.0, resolution)
+    return images
 
 
 class ServingEngine:
@@ -60,6 +70,10 @@ class ServingEngine:
             # times): onboarding is amortized, and a flat [I*N, 512, 512]
             # VAE encode would blow HBM at I=16 (fp32 GN temps)
             i, n = refs.shape[:2]
+            res = refs.shape[3]
+            refs = _maybe_preprocess(
+                refs.reshape(i * n, *refs.shape[2:]), res
+            ).reshape(i, n, res, res, 3)
 
             def one(args):
                 ref_i, rng_i = args
@@ -78,6 +92,7 @@ class ServingEngine:
 
         @functools.partial(jax.jit, static_argnames=("fused",))
         def _restore(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
+            images = _maybe_preprocess(images, images.shape[1])
             # gather each sample's identity KV: [I,N,H,S,d] -> [B,N,H,S,d]
             ref_kv = [
                 (k[identity_ids], v[identity_ids]) for k, v in kv_cache
@@ -95,6 +110,12 @@ class ServingEngine:
 
         @jax.jit
         def _restore_cold(params, images, cond_images, rng):
+            images = _maybe_preprocess(images, images.shape[1])
+            b, n = cond_images.shape[:2]
+            res = cond_images.shape[3]
+            cond_images = _maybe_preprocess(
+                cond_images.reshape(b * n, *cond_images.shape[2:]), res
+            ).reshape(b, n, res, res, 3)
             out = restore_forward(
                 params,
                 images,

@@ -69,6 +69,10 @@ class RestorerStatics:
     vae_lora_scaling: float = 0.5
     noise_timesteps: Tuple[int, ...] = NOISE_TIMESTEPS
     condition_on_face_embeds: bool = False
+    # rank-16/alpha-8 LoRA on the frozen K/V-capture nets
+    # (pix2pix_turbo.py:163-168,183-188; off in all shipped configs)
+    train_reference_networks: bool = False
+    reference_lora_scaling: float = 0.5  # alpha=8 / rank=16
     compute_dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -83,6 +87,7 @@ class RestorerStatics:
         )
         kw.update(overrides)
         kw.setdefault("condition_on_face_embeds", mcfg.condition_on_face_embeds)
+        kw.setdefault("train_reference_networks", mcfg.train_reference_networks)
         return cls(**kw)
 
 
@@ -105,8 +110,8 @@ def init_restorer_params(
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     vae_cfg = dataclasses.replace(statics.vae_cfg, use_shortcuts=statics.use_shortcuts)
-    unet = init_unet_params(k1, statics.unet_cfg)
-    unet = attach_lora(unet, k2, lora_rank_unet, UNET_LORA_TARGETS)
+    base_unet = init_unet_params(k1, statics.unet_cfg)
+    unet = attach_lora(base_unet, k2, lora_rank_unet, UNET_LORA_TARGETS)
     if statics.condition_on_face_embeds:
         from instantrestore_tpu.models.lora import attach_faceid
 
@@ -114,21 +119,33 @@ def init_restorer_params(
             unet, jax.random.fold_in(key, 11),
             cross_dim=statics.unet_cfg.cross_attention_dim,
         )
-    vae = init_vae_params(k3, vae_cfg)
+    base_vae = init_vae_params(k3, vae_cfg)
+    vae = base_vae
     if train_vae:
         targets = VAE_SHORTCUT_TARGETS if statics.use_shortcuts else VAE_LORA_TARGETS
-        vae = attach_lora(vae, k4, lora_rank_vae, targets)
+        vae = attach_lora(base_vae, k4, lora_rank_vae, targets)
     caption = jax.random.normal(
         jax.random.fold_in(key, 7),
         (1, 77, statics.unet_cfg.cross_attention_dim),
         jnp.float32,
     )
-    return {
+    bundle = {
         "unet": unet,
         "unet_orig_conv_in": dict(unet["conv_in"]),
         "vae": vae,
         "caption_enc": caption,
     }
+    if statics.train_reference_networks:
+        # explicit original trees (no longer zero-cost views) with their own
+        # rank-16/alpha-8 gaussian LoRA (pix2pix_turbo.py:163-168,183-188)
+        bundle["original_unet"] = attach_lora(
+            base_unet, jax.random.fold_in(key, 21), 16, UNET_LORA_TARGETS
+        )
+        bundle["original_vae"] = attach_lora(
+            base_vae, jax.random.fold_in(key, 22), 16,
+            VAE_SHORTCUT_TARGETS if statics.use_shortcuts else VAE_LORA_TARGETS,
+        )
+    return bundle
 
 
 def original_unet_view(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -188,8 +205,12 @@ def get_conditioning_kv(
     ounet = original_unet_view(params)
     sf = statics.vae_cfg.scaling_factor
 
+    # the rank-16 reference LoRA applies only when the explicit trainable
+    # originals exist (scaling is ignored on trees without lora leaves)
+    ref_scaling = statics.reference_lora_scaling
     mean, logvar, _ = vae_encode(
         ovae, flat, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype,
+        lora_scaling=ref_scaling,
         use_fused_attention=use_fused_attention,
     )
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
@@ -205,6 +226,7 @@ def get_conditioning_kv(
         caption,
         cfg=statics.unet_cfg,
         capture_kv=True,
+        lora_scaling=ref_scaling,
         use_fused_attention=use_fused_attention,
         compute_dtype=statics.compute_dtype,
     )
@@ -215,6 +237,7 @@ def get_conditioning_kv(
         x0 = sched.pred_original_sample(alphas_cumprod, eps, zt, t1)
         decoded = jnp.clip(
             vae_decode(ovae, x0 / sf, cfg=statics.vae_cfg, compute_dtype=statics.compute_dtype,
+                       lora_scaling=ref_scaling,
                        use_fused_attention=use_fused_attention),
             -1.0,
             1.0,

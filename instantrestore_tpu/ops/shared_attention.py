@@ -235,6 +235,149 @@ def _shared_kernel(
         o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
 
 
+def _shared_kvouter_kernel(
+    q_ref, kin_ref, vin_ref, rk_ref, rv_ref, aff_ref, o_ref, acc,
+    *, scale, block_q, block_k, seg_len, include_input,
+):
+    """KV-outer / Q-inner variant (ROADMAP lever #1): grid is (B, H, n_seg)
+    and the FULL-Sq accumulator lives in VMEM (acc [Sq, 128] fp32 = 2 MB at
+    the 64^2 layer), so each reference K/V segment crosses HBM exactly ONCE
+    instead of once per Q block (4x less reference bandwidth at Sq=4096,
+    bq=1024). Inner loops walk kv chunks x q chunks over VMEM-resident
+    operands; the MXU row-sum ones-column trick is unchanged, and the running
+    max rides a second spare accumulator lane (d+1) so no separate full-Sq
+    m scratch is needed (the naive layout blew the 16 MB VMEM budget by
+    232 KB at the 64^2 layer)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    d = q_ref.shape[-1]
+    sq = q_ref.shape[2]
+    lanes = acc.shape[-1]
+    m_lane = d + 1
+
+    @pl.when(j == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        acc[:] = jnp.where(lane == m_lane, NEG_INF, 0.0)
+
+    v_scale = aff_ref[0, 0, 0, 0, :]  # [d]
+    v_shift = aff_ref[0, 0, 0, 1, :]
+    pad = lanes - d - 1
+    # lane d carries the softmax row-sum (ones column); lanes d+1.. are zero
+    # in V so the matmul never touches the m lane
+    ones_col = jnp.concatenate(
+        [jnp.ones((block_k, 1), jnp.float32), jnp.zeros((block_k, pad), jnp.float32)],
+        axis=1,
+    )
+    qscale = jnp.asarray(scale * LOG2E, q_ref.dtype)
+
+    def kv_body(c, _):
+        start = c * block_k
+        if include_input:
+            k_seg = jax.lax.cond(
+                j == 0,
+                lambda: kin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rk_ref[0, 0, 0, pl.ds(start, block_k), :],
+            )
+            v_seg = jax.lax.cond(
+                j == 0,
+                lambda: vin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype),
+            )
+        else:
+            k_seg = rk_ref[0, 0, 0, pl.ds(start, block_k), :]
+            v_seg = (
+                rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype)
+            )
+        v_pad = jnp.concatenate([v_seg, ones_col.astype(v_seg.dtype)], axis=1)
+
+        def q_body(qi, _):
+            qs = qi * block_q
+            q = q_ref[0, 0, pl.ds(qs, block_q), :] * qscale
+            s = jax.lax.dot_general(
+                q, k_seg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            blk = acc[pl.ds(qs, block_q), :]
+            m_prev = blk[:, m_lane : m_lane + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2((s - m_new).astype(v_seg.dtype))
+            new_blk = blk * alpha + jax.lax.dot(
+                p, v_pad, preferred_element_type=jnp.float32
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, new_blk.shape, 1)
+            acc[pl.ds(qs, block_q), :] = jnp.where(
+                lane == m_lane, jnp.broadcast_to(m_new, new_blk.shape), new_blk
+            )
+            return ()
+
+        jax.lax.fori_loop(0, sq // block_q, q_body, ())
+        return ()
+
+    jax.lax.fori_loop(0, seg_len // block_k, kv_body, ())
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
+
+
+def _shared_flash_attention_kvouter(
+    q, k_in, v_in, ref_k, ref_v, aff, *,
+    scale, include_input, block_q, block_k, interpret,
+):
+    b, h, sq, d = q.shape
+    n = ref_k.shape[1]
+    s = ref_k.shape[3]
+    bq = min(block_q, sq)
+    bk = min(block_k, s)
+    n_seg = n + 1 if include_input else n
+    grid = (b, h, n_seg)
+
+    if include_input:
+        ref_index = lambda b_, h_, j: (b_, jnp.maximum(j - 1, 0), h_, 0, 0)
+        s_in = s
+    else:
+        ref_index = lambda b_, h_, j: (b_, j, h_, 0, 0)
+        # refs-only: the input K/V are never read — stage a minimal 8-row
+        # slice instead of the full segment (saves ~2 MB of VMEM at 64^2)
+        s_in = 8
+        k_in = k_in[:, :, :s_in, :]
+        v_in = v_in[:, :, :s_in, :]
+    aff_index = lambda b_, h_, j: (b_, h_, j, 0, 0)
+
+    kernel = functools.partial(
+        _shared_kvouter_kernel,
+        scale=scale, block_q=bq, block_k=bk, seg_len=s,
+        include_input=include_input,
+    )
+    vmem = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s_in, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s_in, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2, d), aff_index, memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            # [values | row-sum | running max | padding] on 128 lanes
+            pltpu.VMEM((sq, max(128, d + 2)), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k_in, v_in, ref_k, ref_v, aff)
+
+
 def shared_flash_attention(
     q: jnp.ndarray,          # [B, H, Sq, d]
     k_in: jnp.ndarray,       # [B, H, S, d]   input-image K (post head split)
@@ -248,6 +391,7 @@ def shared_flash_attention(
     block_q: int = 1024,
     block_k: int = 512,  # bk=1024 overflows the 16MB VMEM budget with the
                          # resident input+ref segments at the 64x64 layer
+    algo: Optional[str] = None,  # 'kv_outer' (default) | 'q_outer'
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused widened attention over [input | ref_1 | ... | ref_N] K/V.
@@ -277,9 +421,20 @@ def shared_flash_attention(
         )
         aff = jnp.concatenate([ident, aff], axis=2)  # [B, H, N+1, 2, d]
 
+    interpret = _interpret_default() if interpret is None else interpret
+    if algo is None:
+        import os
+
+        algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer")
+    if algo == "kv_outer":
+        return _shared_flash_attention_kvouter(
+            q, k_in, v_in, ref_k, ref_v, aff,
+            scale=scale, include_input=include_input,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+
     n_seg = n + 1 if include_input else n
     grid = (b, h, sq // bq, n_seg)
-    interpret = _interpret_default() if interpret is None else interpret
 
     if include_input:
         # segment j=0 is the input; ref blocks park on ref 0 there (revisited

@@ -99,16 +99,25 @@ class Coach:
         self.arcface_params = arcface_params
         self.disc_backbone = disc_backbone
         self.disc_heads = None
+        # backbone selector (cv_discriminator.py:94-195 cv_type dispatch);
+        # 'dinov2' is the shipped config, 'vgg' the second supported backbone
+        self.disc_type = "vgg" if "vgg" in cfg.optim.gan_disc_type else "dinov2"
         if cfg.optim.lambda_gan > 0:
-            if self.disc_backbone is None:
-                self.disc_backbone = init_vit_params(jax.random.fold_in(key, 2), vit_cfg)
-            self.disc_heads = gan_mod.init_discriminator_heads(
-                jax.random.fold_in(key, 3), embed_dim=vit_cfg.embed_dim
-            )
+            if self.disc_type == "vgg":
+                if self.disc_backbone is None:
+                    self.disc_backbone = gan_mod.init_vgg_backbone(
+                        jax.random.fold_in(key, 2)
+                    )
+                self.disc_heads = gan_mod.init_simple_head(jax.random.fold_in(key, 3))
+            else:
+                if self.disc_backbone is None:
+                    self.disc_backbone = init_vit_params(jax.random.fold_in(key, 2), vit_cfg)
+                self.disc_heads = gan_mod.init_discriminator_heads(
+                    jax.random.fold_in(key, 3), embed_dim=vit_cfg.embed_dim
+                )
 
         # trainable masks + optimizers (two AdamW like the reference,
         # coach.py:444-489)
-        extra = ("conv_in",) if True else ()
         self.g_mask = {
             "unet": trainable_mask(params["unet"], extra_trainable=("conv_in",)),
             "unet_orig_conv_in": trainable_mask(params["unet_orig_conv_in"]),
@@ -122,6 +131,13 @@ class Coach:
             ),
             "caption_enc": False,
         }
+        if cfg.model.train_reference_networks and "original_unet" in params:
+            # reference-network LoRA + original conv_in are trainable
+            # (pix2pix_turbo.py set_train:224-231)
+            self.g_mask["original_unet"] = trainable_mask(
+                params["original_unet"], extra_trainable=("conv_in",)
+            )
+            self.g_mask["original_vae"] = trainable_mask(params["original_vae"])
         for k in params:
             if k not in self.g_mask:
                 self.g_mask[k] = jax.tree_util.tree_map(lambda _: False, params[k])
@@ -273,6 +289,7 @@ class Coach:
                     disc_backbone=self.disc_backbone,
                     disc_heads=disc_heads,
                     vit_cfg=self.vit_cfg,
+                    disc_type=self.disc_type,
                     train_input=statics.train_input,
                     degrade_fn=degrade_fn,
                     landmark_layer=landmark_layer,
@@ -291,11 +308,12 @@ class Coach:
             def loss_fn(heads):
                 l_real, heads = gan_mod.discriminate(
                     self.disc_backbone, heads, real, r1, for_real=True,
-                    vit_cfg=self.vit_cfg,
+                    vit_cfg=self.vit_cfg, disc_type=self.disc_type,
                 )
                 l_fake, heads = gan_mod.discriminate(
                     self.disc_backbone, heads, fake, r2,
                     for_real=False, vit_cfg=self.vit_cfg,
+                    disc_type=self.disc_type,
                 )
                 loss = 0.5 * (l_real.mean() + l_fake.mean()) * cfg.optim.lambda_gan
                 if boxes is not None:
@@ -316,12 +334,12 @@ class Coach:
                         lr, heads = gan_mod.discriminate(
                             self.disc_backbone, heads, rc,
                             jax.random.fold_in(r1, i + 1), for_real=True,
-                            vit_cfg=self.vit_cfg,
+                            vit_cfg=self.vit_cfg, disc_type=self.disc_type,
                         )
                         lf, heads = gan_mod.discriminate(
                             self.disc_backbone, heads, fcp,
                             jax.random.fold_in(r2, i + 1), for_real=False,
-                            vit_cfg=self.vit_cfg,
+                            vit_cfg=self.vit_cfg, disc_type=self.disc_type,
                         )
                         fc += lr.mean() + lf.mean()
                     loss += fc * cfg.optim.lambda_gan * cfg.optim.lambda_facial_comp
@@ -335,7 +353,7 @@ class Coach:
         self._g_step = jax.jit(g_step, static_argnames=("landmark_layer",))
         self._d_step = jax.jit(d_step) if self.disc_heads is not None else None
 
-        def eval_step(params, batch, rng):
+        def eval_step(params, batch, rng, save_attn=False):
             out = restore_forward(
                 params,
                 batch["image"],
@@ -344,6 +362,7 @@ class Coach:
                 rng=rng,
                 statics=statics,
                 timestep=cfg.model.noise_timestep,
+                save_attn_probs=save_attn,
             )
             _, losses = compute_generator_loss(
                 out, batch, cfg.optim, rng=rng,
@@ -351,9 +370,9 @@ class Coach:
                 arcface_params=self.arcface_params,
                 train_input=statics.train_input,
             )
-            return losses, out["output_image"]
+            return losses, out["output_image"], out.get("attn_probs")
 
-        self._eval_step = jax.jit(eval_step)
+        self._eval_step = jax.jit(eval_step, static_argnames=("save_attn",))
 
     # ------------------------------------------------------------------
 
@@ -453,7 +472,15 @@ class Coach:
                     for k, v in batch.items()
                 }
             dev_batch, _ = self._device_batch(batch)
-            losses, pred = self._eval_step(self.params, dev_batch, rng)
+            save_attn = (
+                not vis_done
+                and self.cfg.log.vis_attention
+                and self.statics.use_shared_attention
+                and "conditioning_images" in dev_batch
+            )
+            losses, pred, attn_probs = self._eval_step(
+                self.params, dev_batch, rng, save_attn=save_attn
+            )
             losses = jax.device_get(losses)
             for k, v in losses.items():
                 agg.setdefault(k, []).append(float(v))
@@ -462,6 +489,19 @@ class Coach:
                     "val_images",
                     {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
                 )
+                if save_attn and attn_probs:
+                    # per-reference received-attention overlays (reference
+                    # coach.py:367-377 -> vis_utils.vis_attn_probs)
+                    from instantrestore_tpu.utils.vis import vis_attn_probs
+
+                    self.logger.save_image(
+                        "val_attention",
+                        vis_attn_probs(
+                            [np.asarray(p, np.float32) for p in attn_probs],
+                            np.asarray(batch["conditioning_images"]),
+                            train_input=self.statics.train_input,
+                        ),
+                    )
                 vis_done = True
             count += 1
             if count >= self.cfg.log.val_vis_count:

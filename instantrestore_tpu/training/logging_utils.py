@@ -74,6 +74,13 @@ class CoachLogger:
         out_dir.mkdir(parents=True, exist_ok=True)
         Image.fromarray(grid).save(out_dir / f"step_{self.step:07d}.jpg", quality=92)
 
+    def save_image(self, title: str, image):
+        """Save a ready-made PIL image under logs/<title>/ (attention
+        overlays, vis_utils.vis_attn_probs twin)."""
+        out_dir = self.log_dir / title
+        out_dir.mkdir(parents=True, exist_ok=True)
+        image.save(out_dir / f"step_{self.step:07d}.jpg", quality=92)
+
     def close(self):
         if self.tb is not None:
             self.tb.close()

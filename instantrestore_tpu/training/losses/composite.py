@@ -119,6 +119,7 @@ def compute_generator_loss(
     disc_backbone: Optional[Dict] = None,
     disc_heads: Optional[Dict] = None,
     vit_cfg=None,
+    disc_type: str = "dinov2",
     train_input: bool = True,
     degrade_fn=None,
     landmark_layer: Optional[int] = None,
@@ -227,6 +228,7 @@ def compute_generator_loss(
         g_loss, _ = gan_mod.discriminate(
             disc_backbone, disc_heads, out["output_image"], rng,
             for_g=True, update_sn=False, vit_cfg=vit_cfg or DINOV2_VITL14,
+            disc_type=disc_type,
         )
         losses["loss_g"] = g_loss.mean()
         total += losses["loss_g"] * cfg.lambda_gan
@@ -243,6 +245,7 @@ def compute_generator_loss(
                 gi, _ = gan_mod.discriminate(
                     disc_backbone, disc_heads, crop, jax.random.fold_in(rng, i + 1),
                     for_g=True, update_sn=False, vit_cfg=vit_cfg or DINOV2_VITL14,
+                    disc_type=disc_type,
                 )
                 fc_g += gi.mean()
             losses["fc_loss_g"] = fc_g

@@ -144,6 +144,103 @@ def diff_augment(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# VGG16 backbone (gan_disc_type='vgg' — reference cvmodel.Vgg:13-35:
+# antialiased_cnns.vgg16 features -> [B, 7, 7, 512])
+# ---------------------------------------------------------------------------
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+
+# VGG16 conv plan: (out_channels, convs per stage); pool after every stage
+_VGG_STAGES = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+
+
+def _blurpool_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """Antialiased downsample (antialiased_cnns BlurPool, filt_size=4,
+    stride 2, reflect pad (1, 2))."""
+    c = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="reflect")
+    filt = jnp.asarray(_BLUR4)[:, :, None, None] * jnp.ones((1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, filt.astype(x.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def init_vgg_backbone(key) -> Dict[str, Any]:
+    """Random-init VGG16 conv trunk (13 convs); real weights land via the
+    LPIPS-style converter (same stage layout as losses/lpips.py)."""
+    from instantrestore_tpu.ops.primitives import init_conv2d as _init_conv
+
+    keys = iter(jax.random.split(key, 16))
+    stages = []
+    in_ch = 3
+    for out_ch, n_convs in _VGG_STAGES:
+        stage = []
+        for _ in range(n_convs):
+            stage.append(_init_conv(next(keys), in_ch, out_ch, 3))
+            in_ch = out_ch
+        stages.append(stage)
+    return {"vgg": stages}
+
+
+def vgg_backbone_features(params: Dict[str, Any], x_pm1: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] images -> [B, 7, 7, 512]: area-resize 224, ImageNet normalize,
+    conv stages with antialiased pooling (max s1 + blurpool s2,
+    antialiased_cnns semantics)."""
+    from instantrestore_tpu.ops.primitives import conv2d as _conv
+
+    b = x_pm1.shape[0]
+    x = x_pm1.astype(jnp.float32) * 0.5 + 0.5
+    x = jax.image.resize(x, (b, 224, 224, 3), method="linear")
+    x = (x - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+    for stage in params["vgg"]:
+        for conv in stage:
+            x = jax.nn.relu(_conv(conv, x))
+        # max pool k2 s1 then blurpool s2
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1),
+            [(0, 0), (0, 1), (0, 1), (0, 0)],
+        )
+        x = _blurpool_s2(x)
+    return x
+
+
+def init_simple_head(key, in_ch: int = 512, out_ch: int = 256) -> Dict[str, Any]:
+    """SimpleD (cv_discriminator.py:49-72): blurpool -> SNConv3x3 s2 ->
+    LeakyReLU -> flatten -> SNLinear(out_size^2*out_ch -> out_ch) ->
+    LeakyReLU -> SNLinear(->1), out_size=3 on the 7x7 vgg map.
+
+    (The torch original's asymmetric BlurPool padding would actually produce
+    4x4 and shape-mismatch its own out_size=3 Linear — dead code there since
+    shipped configs use dinov2; symmetric (2,2) padding realizes the declared
+    3x3 geometry.)"""
+    keys = iter(jax.random.split(key, 8))
+
+    def sn(p, k):
+        p = dict(p)
+        p["u"] = _sn_init(k, p["kernel"].shape)
+        return p
+
+    return {
+        "conv1": sn(init_conv2d(next(keys), in_ch, out_ch, 3), next(keys)),
+        "fc1": sn(init_dense(next(keys), out_ch * 3 * 3, out_ch), next(keys)),
+        "out": sn(init_dense(next(keys), out_ch, 1), next(keys)),
+    }
+
+
+def _simple_head_apply(heads, fmap, *, update_sn: bool):
+    """fmap [B, 7, 7, C] -> ([B,1] logits, new heads)."""
+    h = _blurpool(fmap, pad=2)  # BlurPool(pad_off=1): pad (1,2)+1 -> ~2 each
+    h, c1 = _sn_conv(heads["conv1"], h, stride=2, padding=0, update=update_sn)
+    h = jax.nn.leaky_relu(h, 0.2)
+    h = h.reshape(h.shape[0], -1).astype(jnp.float32)
+    h, f1 = _sn_dense(heads["fc1"], h, update=update_sn)
+    h = jax.nn.leaky_relu(h, 0.2)
+    out, fo = _sn_dense(heads["out"], h, update=update_sn)
+    return [out], {"conv1": c1, "fc1": f1, "out": fo}
+
+
+# ---------------------------------------------------------------------------
 # discriminator
 # ---------------------------------------------------------------------------
 
@@ -221,11 +318,22 @@ def discriminate(
     vit_cfg: ViTConfig = DINOV2_VITL14,
     update_sn: bool = True,
     diffaug: bool = True,
+    disc_type: str = "dinov2",
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """Full vision-aided D pass: DiffAugment -> DINOv2 features -> SN heads
-    -> multilevel sigmoid loss (per sample [B,1]). Returns (loss, new_heads).
-    """
+    """Full vision-aided D pass: DiffAugment -> frozen backbone features ->
+    SN heads -> multilevel sigmoid loss (per sample [B,1]). Returns
+    (loss, new_heads). ``disc_type`` selects the backbone/head pair
+    (cfg.optim.gan_disc_type): 'dinov2' (MultiLevelDViT, the shipped config)
+    or 'vgg' (SimpleD, cv_discriminator.py:137-138)."""
     x = diff_augment(images, rng) if diffaug else images
+
+    if disc_type == "vgg":
+        fmap = vgg_backbone_features(backbone_params, x)
+        if not for_g:
+            fmap = jax.lax.stop_gradient(fmap)
+        logits, new_heads = _simple_head_apply(heads, fmap, update_sn=update_sn)
+        return multilevel_sigmoid_loss(logits, for_real=for_real, for_g=for_g), new_heads
+
     # cvmodel.py:187-189: area-resize to 224, CLIP-mean/ImageNet-std normalize
     x01 = x * 0.5 + 0.5
     b = x01.shape[0]

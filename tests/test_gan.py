@@ -136,3 +136,37 @@ def test_vit_conversion_from_torch_layout(rng):
                     mlp_ratio=2.0, pos_grid=16)
     outs = vit_intermediate_layers(params, jnp.zeros((1, 224, 224, 3)), n=2, cfg=cfg)
     assert outs[0][0].shape == (1, 256, d)
+
+
+def test_vgg_discriminator_backbone():
+    """Second gan_disc_type ('vgg', cv_discriminator.py:137-138): VGG16
+    features + SimpleD spectral-norm head, full D pass both directions."""
+    import jax
+    from instantrestore_tpu.training.losses import gan as gan_mod
+
+    key = jax.random.PRNGKey(0)
+    backbone = gan_mod.init_vgg_backbone(key)
+    heads = gan_mod.init_simple_head(jax.random.fold_in(key, 1))
+
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 64, 3), jnp.float32)
+    fmap = gan_mod.vgg_backbone_features(backbone, x)
+    assert fmap.shape == (2, 7, 7, 512)
+
+    loss_r, heads1 = gan_mod.discriminate(
+        backbone, heads, x, jax.random.fold_in(key, 3),
+        for_real=True, disc_type="vgg",
+    )
+    assert loss_r.shape == (2, 1)
+    assert np.isfinite(np.asarray(loss_r)).all()
+    # SN power-iteration state advanced
+    assert not np.allclose(
+        np.asarray(heads["conv1"]["u"]), np.asarray(heads1["conv1"]["u"])
+    )
+    # G-side gradient flows back to the image
+    g = jax.grad(
+        lambda img: gan_mod.discriminate(
+            backbone, heads, img, jax.random.fold_in(key, 4),
+            for_g=True, update_sn=False, disc_type="vgg", diffaug=False,
+        )[0].sum()
+    )(x)
+    assert float(jnp.abs(g).sum()) > 0

@@ -61,6 +61,30 @@ def test_restore_cold_matches_shapes(engine):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_uint8_fused_preprocessing(engine):
+    """uint8 in -> preprocessing runs inside the compiled program and matches
+    host-side normalization (BASELINE 'fused preprocessing + VAE + UNet')."""
+    rng = np.random.default_rng(7)
+    refs_u8 = rng.integers(0, 256, (2, 4, 64, 64, 3), np.uint8)
+    imgs_u8 = rng.integers(0, 256, (2, 64, 64, 3), np.uint8)
+    engine.onboard(jnp.asarray(refs_u8))
+    out_u8 = engine.restore(
+        jnp.asarray(imgs_u8), jnp.asarray([0, 1], jnp.int32), jax.random.PRNGKey(3)
+    )
+    assert out_u8.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(out_u8)).all()
+
+    # same pixels, host-normalized floats -> same program result (the square
+    # 64x64 resize+crop is an identity; only the [0,1]->[-1,1] map applies)
+    engine.onboard(jnp.asarray(refs_u8.astype(np.float32) / 255.0 * 2.0 - 1.0))
+    out_f = engine.restore(
+        jnp.asarray(imgs_u8.astype(np.float32) / 255.0 * 2.0 - 1.0),
+        jnp.asarray([0, 1], jnp.int32),
+        jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f), atol=2e-3)
+
+
 def test_requires_onboard_first():
     params = init_restorer_params(
         jax.random.PRNGKey(0), STATICS, lora_rank_unet=4, lora_rank_vae=4

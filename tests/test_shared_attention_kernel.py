@@ -30,9 +30,10 @@ def test_flash_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("algo", ["q_outer", "kv_outer"])
 @pytest.mark.parametrize("include_input", [True, False])
 @pytest.mark.parametrize("use_adain", [True, False])
-def test_shared_flash_matches_widen_kv_path(rng, include_input, use_adain):
+def test_shared_flash_matches_widen_kv_path(rng, include_input, use_adain, algo):
     b, h, s, d, n = 2, 2, 32, 8, 3
     q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
     k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
@@ -51,6 +52,7 @@ def test_shared_flash_matches_widen_kv_path(rng, include_input, use_adain):
     out = shared_flash_attention(
         q, k_in, v_in, rk, rv, scale=scale, v_affine=affine,
         include_input=include_input, block_q=16, block_k=16, interpret=True,
+        algo=algo,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
