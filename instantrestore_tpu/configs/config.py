@@ -35,6 +35,11 @@ class ComputeConfig:
     # TPU-native additions
     mesh_shape: Optional[List[int]] = None  # None -> all devices on 'data'
     compute_dtype: str = "bfloat16"
+    # Pallas fused attention in the train/eval steps (ops/flash_vjp.py custom
+    # VJP). None = auto: on for the TPU backend, off elsewhere (interpret-mode
+    # kernels on CPU are correct but slow). Layers that must materialize
+    # attention probabilities for losses always take the XLA path.
+    fused_attention: Optional[bool] = None
 
     def __post_init__(self):
         if self.test_batch_size is None:

@@ -172,7 +172,9 @@ def attention(
     scale = d ** -0.5
 
     if use_fused and not save_probs:
-        from instantrestore_tpu.ops import shared_attention as fused
+        # flash_vjp wraps the inference kernels in jax.custom_vjp, so this
+        # branch is valid inside jax.grad (training) as well
+        from instantrestore_tpu.ops import flash_vjp as fused
 
         if ref_kv is not None:
             # captured K/V arrive in head-split layout [B, N, h, S, d] and

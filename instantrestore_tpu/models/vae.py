@@ -177,7 +177,9 @@ def _attn(p, x, *, cfg: VAEConfig, lora_scaling: float, use_fused: bool = False)
     v = dense(p["to_v"], tokens, lora_scaling=lora_scaling)
     scale = c ** -0.5
     if use_fused:
-        from instantrestore_tpu.ops.shared_attention import flash_attention
+        # differentiable wrapper (custom VJP) so the VAE attention can stay
+        # fused in training too
+        from instantrestore_tpu.ops.flash_vjp import flash_attention
 
         out = flash_attention(q[:, None], k[:, None], v[:, None], scale=scale)[:, 0]
     else:

@@ -33,9 +33,29 @@ class ViTConfig:
     pos_grid: int = 37  # DINOv2 518px training grid
     layerscale: bool = True
     norm_eps: float = 1e-6
+    # CLIP-visual variants (gan_disc_type='clip'; reference
+    # vision_aided_loss/cvmodel.py CLIP:91-139)
+    quick_gelu: bool = False     # x * sigmoid(1.702 x) instead of exact GELU
+    ln_pre: bool = False         # LayerNorm after pos-embed add
+    proj_dim: int = 0            # >0: ln_post(cls) @ proj output head
 
 
 DINOV2_VITL14 = ViTConfig()
+
+# DINO v1 ViT-B/16 (gan_disc_type='dino', cvmodel.py:142-171): plain pre-norm
+# ViT, no LayerScale, 224px training grid
+DINO_VITB16 = ViTConfig(
+    patch_size=16, embed_dim=768, depth=12, num_heads=12, pos_grid=14,
+    layerscale=False,
+)
+
+# CLIP ViT-B/32 visual tower (cvmodel.py:91-139): ln_pre, QuickGELU, 512-d
+# projected embedding; taps at resblocks [0:4], [0:8], [0:12]
+CLIP_VITB32 = ViTConfig(
+    patch_size=32, embed_dim=768, depth=12, num_heads=12, pos_grid=7,
+    layerscale=False, norm_eps=1e-5, quick_gelu=True, ln_pre=True,
+    proj_dim=512,
+)
 
 
 def init_vit_params(key, cfg: ViTConfig = DINOV2_VITL14) -> Dict[str, Any]:
@@ -70,6 +90,10 @@ def init_vit_params(key, cfg: ViTConfig = DINOV2_VITL14) -> Dict[str, Any]:
             block["ls1"] = {"gamma": jnp.full((d,), 1e-5)}
             block["ls2"] = {"gamma": jnp.full((d,), 1e-5)}
         params["blocks"].append(block)
+    if cfg.ln_pre:
+        params["ln_pre"] = init_norm(d)
+    if cfg.proj_dim:
+        params["proj"] = jax.random.normal(next(keys), (d, cfg.proj_dim)) * d ** -0.5
     return params
 
 
@@ -110,35 +134,137 @@ def vit_intermediate_layers(
     pos = _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh)
     x = x + pos.astype(compute_dtype)
 
-    heads = cfg.num_heads
-    d = cfg.embed_dim
-    hd = d // heads
     outputs: List[jnp.ndarray] = []
     depth = len(params["blocks"])
     for li, bp in enumerate(params["blocks"]):
-        hx = layer_norm(bp["norm1"], x, eps=cfg.norm_eps)
-        qkv = dense(bp["attn"]["qkv"], hx)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (hd ** -0.5), axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, -1, d)
-        o = dense(bp["attn"]["proj"], o)
-        if "ls1" in bp:
-            o = o * bp["ls1"]["gamma"].astype(o.dtype)
-        x = x + o
-        hx = layer_norm(bp["norm2"], x, eps=cfg.norm_eps)
-        hx = dense(bp["mlp"]["fc2"], jax.nn.gelu(dense(bp["mlp"]["fc1"], hx), approximate=False))
-        if "ls2" in bp:
-            hx = hx * bp["ls2"]["gamma"].astype(hx.dtype)
-        x = x + hx
+        x = _vit_block(bp, x, cfg)
         if li >= depth - n:
             outputs.append(x)
 
     normed = [layer_norm(params["norm"], o, eps=cfg.norm_eps) for o in outputs]
     return [(o[:, 1:], o[:, 0]) for o in normed]
+
+
+def _vit_block(bp, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """One pre-norm transformer block (attn + MLP, optional LayerScale,
+    optional QuickGELU for the CLIP tower)."""
+    b, _, d = x.shape
+    heads = cfg.num_heads
+    hd = d // heads
+    hx = layer_norm(bp["norm1"], x, eps=cfg.norm_eps)
+    qkv = dense(bp["attn"]["qkv"], hx)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (hd ** -0.5), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, -1, d)
+    o = dense(bp["attn"]["proj"], o)
+    if "ls1" in bp:
+        o = o * bp["ls1"]["gamma"].astype(o.dtype)
+    x = x + o
+    hx = layer_norm(bp["norm2"], x, eps=cfg.norm_eps)
+    hx = dense(bp["mlp"]["fc1"], hx)
+    if cfg.quick_gelu:
+        hx = hx * jax.nn.sigmoid(1.702 * hx)
+    else:
+        hx = jax.nn.gelu(hx, approximate=False)
+    hx = dense(bp["mlp"]["fc2"], hx)
+    if "ls2" in bp:
+        hx = hx * bp["ls2"]["gamma"].astype(hx.dtype)
+    return x + hx
+
+
+def clip_multi_level(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    *,
+    cfg: ViTConfig = CLIP_VITB32,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CLIP visual tower, conv_multi_level taps (cvmodel.py CLIP.forward_custom
+    :105-124): raw hidden states after resblocks [0:depth/3] and [0:2depth/3]
+    (class token dropped, reshaped to the patch grid) plus the final projected
+    class embedding ln_post(cls) @ proj. Unlike DINO, the intermediate taps
+    are NOT final-norm-applied."""
+    b, h, w, _ = images.shape
+    gh = h // cfg.patch_size
+    x = jax.lax.conv_general_dilated(
+        images.astype(compute_dtype),
+        params["patch_embed"]["kernel"].astype(compute_dtype),
+        (cfg.patch_size, cfg.patch_size),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["bias"].astype(compute_dtype)
+    x = x.reshape(b, gh * gh, cfg.embed_dim)
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype), (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh)
+    x = x + pos.astype(compute_dtype)
+    if "ln_pre" in params:
+        x = layer_norm(params["ln_pre"], x, eps=cfg.norm_eps)
+
+    depth = len(params["blocks"])
+    taps = {depth // 3 - 1, 2 * depth // 3 - 1}
+    spatial: List[jnp.ndarray] = []
+    for li, bp in enumerate(params["blocks"]):
+        x = _vit_block(bp, x, cfg)
+        if li in taps:
+            # [B, gh*gh, D] tokens are row-major over the patch grid -> NHWC
+            spatial.append(x[:, 1:].reshape(b, gh, gh, -1))
+    cls_out = layer_norm(params["norm"], x[:, 0], eps=cfg.norm_eps)
+    embed = cls_out @ params["proj"].astype(cls_out.dtype)
+    return spatial[0], spatial[1], embed
+
+
+def convert_clip_visual(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """CLIP ``model.visual`` state dict (OpenAI clip / open_clip naming:
+    conv1 / class_embedding / positional_embedding / ln_pre /
+    transformer.resblocks.N.{ln_1,attn.in_proj,attn.out_proj,mlp.c_fc,
+    mlp.c_proj,ln_2} / ln_post / proj) -> param tree for clip_multi_level."""
+
+    def np_(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    d = np_(sd["class_embedding"]).shape[-1]
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": jnp.asarray(np_(sd["conv1.weight"]).transpose(2, 3, 1, 0)),
+            "bias": jnp.zeros((d,)),  # CLIP conv1 has no bias
+        },
+        "cls_token": jnp.asarray(np_(sd["class_embedding"])).reshape(1, 1, d),
+        "pos_embed": jnp.asarray(np_(sd["positional_embedding"]))[None],
+        "ln_pre": {"scale": jnp.asarray(np_(sd["ln_pre.weight"])),
+                   "bias": jnp.asarray(np_(sd["ln_pre.bias"]))},
+        "blocks": [],
+        "norm": {"scale": jnp.asarray(np_(sd["ln_post.weight"])),
+                 "bias": jnp.asarray(np_(sd["ln_post.bias"]))},
+        "proj": jnp.asarray(np_(sd["proj"])),
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        pre = f"transformer.resblocks.{i}"
+        params["blocks"].append({
+            "norm1": {"scale": jnp.asarray(np_(sd[f"{pre}.ln_1.weight"])),
+                      "bias": jnp.asarray(np_(sd[f"{pre}.ln_1.bias"]))},
+            "attn": {
+                "qkv": {"kernel": jnp.asarray(np_(sd[f"{pre}.attn.in_proj_weight"]).T),
+                        "bias": jnp.asarray(np_(sd[f"{pre}.attn.in_proj_bias"]))},
+                "proj": {"kernel": jnp.asarray(np_(sd[f"{pre}.attn.out_proj.weight"]).T),
+                         "bias": jnp.asarray(np_(sd[f"{pre}.attn.out_proj.bias"]))},
+            },
+            "norm2": {"scale": jnp.asarray(np_(sd[f"{pre}.ln_2.weight"])),
+                      "bias": jnp.asarray(np_(sd[f"{pre}.ln_2.bias"]))},
+            "mlp": {
+                "fc1": {"kernel": jnp.asarray(np_(sd[f"{pre}.mlp.c_fc.weight"]).T),
+                        "bias": jnp.asarray(np_(sd[f"{pre}.mlp.c_fc.bias"]))},
+                "fc2": {"kernel": jnp.asarray(np_(sd[f"{pre}.mlp.c_proj.weight"]).T),
+                        "bias": jnp.asarray(np_(sd[f"{pre}.mlp.c_proj.bias"]))},
+            },
+        })
+        i += 1
+    return params
 
 
 def convert_vit_params(sd: Dict[str, Any]) -> Dict[str, Any]:

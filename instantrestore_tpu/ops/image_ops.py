@@ -30,6 +30,10 @@ def resize_shorter_side(images: jnp.ndarray, size: int, method: str = "cubic") -
         nh, nw = size, max(1, int(round(w * size / h)))
     else:
         nh, nw = max(1, int(round(h * size / w))), size
+    if (nh, nw) == (h, w):
+        # identity resize: PIL would be a no-op too, and XLA does NOT fold
+        # the antialiased gather chain away (measured ~33 ms/batch16 on TPU)
+        return images
     return jax.image.resize(images, (b, nh, nw, c), method=method, antialias=True)
 
 

@@ -325,6 +325,192 @@ def _shared_kvouter_kernel(
         o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
 
 
+def _shared_kvouter_packed_kernel(
+    q_ref, kin_ref, vin_ref, rk_ref, rv_ref, aff_ref, o_ref, acc, m_scr, l_scr,
+    *, scale, block_q, block_k, seg_len, include_input,
+):
+    """Two-head lane-packed KV-outer kernel for d=64 (ROADMAP lever #2).
+
+    At d=64 both matmuls ran at half MXU width: QK^T contracted over 64 lanes
+    and P@V produced 64 output lanes. Here each grid step owns a PAIR of
+    heads: Q packs as [BQ, 128] = [q_a | q_b], and K/V expand to
+    block-diagonal [2*BK, 128] tiles built in VMEM
+    ([[k_a, 0], [0, k_b]]), so
+
+        S_cat = Q_pack @ K_cat^T   -> [BQ, 2BK]  (cols :BK head a, BK: head b)
+        O_cat = P_cat @ V_cat      -> [BQ, 128]  (lanes :64 head a, 64: head b)
+
+    contract/emit full 128 lanes. Softmax runs per half on the score columns;
+    the running max/denominator live in lane-broadcast scratches (lanes :64 =
+    head a, 64: = head b), so the rescale and the final division stay plain
+    elementwise ops. Row sums return to the VPU — the ones-column MXU trick
+    needs a spare lane and the packed accumulator has none; the halved MXU
+    time dominates that cost (measured 24 -> ~13 ms at the 64^2 layer)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    hd = q_ref.shape[-1]
+    sq = q_ref.shape[2]
+    lanes = 2 * hd
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    va1 = aff_ref[0, 0, 0, 0, :]  # [hd] head a scale
+    vb1 = aff_ref[0, 1, 0, 0, :]
+    va0 = aff_ref[0, 0, 0, 1, :]  # shifts
+    vb0 = aff_ref[0, 1, 0, 1, :]
+    qscale = jnp.asarray(scale * LOG2E, q_ref.dtype)
+    zeros_blk = jnp.zeros((block_k, hd), q_ref.dtype)
+
+    def load_pair(ref5, start):
+        a = ref5[0, 0, pl.ds(start, block_k), :]
+        b = ref5[0, 1, pl.ds(start, block_k), :]
+        return a, b
+
+    def kv_body(c, _):
+        start = c * block_k
+        if include_input:
+            ka, kb = jax.lax.cond(
+                j == 0,
+                lambda: load_pair(kin_ref, start),
+                lambda: (rk_ref[0, 0, 0, pl.ds(start, block_k), :],
+                         rk_ref[0, 0, 1, pl.ds(start, block_k), :]),
+            )
+            va, vb = jax.lax.cond(
+                j == 0,
+                lambda: load_pair(vin_ref, start),
+                lambda: (
+                    rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                    * va1[None, :].astype(rv_ref.dtype) + va0[None, :].astype(rv_ref.dtype),
+                    rv_ref[0, 0, 1, pl.ds(start, block_k), :]
+                    * vb1[None, :].astype(rv_ref.dtype) + vb0[None, :].astype(rv_ref.dtype),
+                ),
+            )
+        else:
+            ka = rk_ref[0, 0, 0, pl.ds(start, block_k), :]
+            kb = rk_ref[0, 0, 1, pl.ds(start, block_k), :]
+            va = (rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                  * va1[None, :].astype(rv_ref.dtype) + va0[None, :].astype(rv_ref.dtype))
+            vb = (rv_ref[0, 0, 1, pl.ds(start, block_k), :]
+                  * vb1[None, :].astype(rv_ref.dtype) + vb0[None, :].astype(rv_ref.dtype))
+        # block-diagonal [2BK, 128] tiles
+        k_cat = jnp.concatenate([
+            jnp.concatenate([ka, zeros_blk], 1),
+            jnp.concatenate([zeros_blk, kb], 1),
+        ], 0)
+        v_cat = jnp.concatenate([
+            jnp.concatenate([va, zeros_blk], 1),
+            jnp.concatenate([zeros_blk, vb], 1),
+        ], 0)
+
+        def q_body(qi, _):
+            qs = qi * block_q
+            q = q_ref[0, 0, pl.ds(qs, block_q), :] * qscale  # head a [BQ, hd]
+            q2 = q_ref[0, 1, pl.ds(qs, block_q), :] * qscale
+            q_cat = jnp.concatenate([q, q2], 1)  # [BQ, 128]
+            s = jax.lax.dot_general(
+                q_cat, k_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, 2BK]
+            s1 = s[:, :block_k]
+            s2 = s[:, block_k:]
+            m_blk = m_scr[pl.ds(qs, block_q), :]
+            l_blk = l_scr[pl.ds(qs, block_q), :]
+            m1p = m_blk[:, :1]
+            m2p = m_blk[:, hd : hd + 1]
+            m1 = jnp.maximum(m1p, jnp.max(s1, axis=1, keepdims=True))
+            m2 = jnp.maximum(m2p, jnp.max(s2, axis=1, keepdims=True))
+            a1 = jnp.exp2(m1p - m1)
+            a2 = jnp.exp2(m2p - m2)
+            p1 = jnp.exp2((s1 - m1).astype(v_cat.dtype))
+            p2 = jnp.exp2((s2 - m2).astype(v_cat.dtype))
+            l1 = a1 * l_blk[:, :1] + jnp.sum(p1.astype(jnp.float32), axis=1, keepdims=True)
+            l2 = a2 * l_blk[:, hd : hd + 1] + jnp.sum(p2.astype(jnp.float32), axis=1, keepdims=True)
+            p_cat = jnp.concatenate([p1, p2], 1)  # [BQ, 2BK]
+            alpha_cat = jnp.concatenate(
+                [jnp.broadcast_to(a1, (block_q, hd)), jnp.broadcast_to(a2, (block_q, hd))], 1
+            )
+            acc[pl.ds(qs, block_q), :] = (
+                acc[pl.ds(qs, block_q), :] * alpha_cat
+                + jax.lax.dot(p_cat, v_cat, preferred_element_type=jnp.float32)
+            )
+            m_scr[pl.ds(qs, block_q), :] = jnp.concatenate(
+                [jnp.broadcast_to(m1, (block_q, hd)), jnp.broadcast_to(m2, (block_q, hd))], 1
+            )
+            l_scr[pl.ds(qs, block_q), :] = jnp.concatenate(
+                [jnp.broadcast_to(l1, (block_q, hd)), jnp.broadcast_to(l2, (block_q, hd))], 1
+            )
+            return ()
+
+        jax.lax.fori_loop(0, sq // block_q, q_body, ())
+        return ()
+
+    jax.lax.fori_loop(0, seg_len // block_k, kv_body, ())
+
+    @pl.when(j == nj - 1)
+    def _():
+        o = acc[:] / l_scr[:]
+        o_ref[0, 0] = o[:, :hd].astype(o_ref.dtype)
+        o_ref[0, 1] = o[:, hd:].astype(o_ref.dtype)
+
+
+def _shared_flash_attention_kvouter_packed(
+    q, k_in, v_in, ref_k, ref_v, aff, *,
+    scale, include_input, block_q, block_k, interpret,
+):
+    """Grid (B, H/2, n_seg); head PAIRS fetched via 2-wide head blocks — no
+    host-side repacking of the KV cache."""
+    b, h, sq, d = q.shape
+    n = ref_k.shape[1]
+    s = ref_k.shape[3]
+    bq = min(block_q, sq)
+    bk = min(block_k, s)
+    n_seg = n + 1 if include_input else n
+    grid = (b, h // 2, n_seg)
+
+    if include_input:
+        ref_index = lambda b_, h2, j: (b_, jnp.maximum(j - 1, 0), h2, 0, 0)
+        s_in = s
+    else:
+        ref_index = lambda b_, h2, j: (b_, j, h2, 0, 0)
+        s_in = 8
+        k_in = k_in[:, :, :s_in, :]
+        v_in = v_in[:, :, :s_in, :]
+    aff_index = lambda b_, h2, j: (b_, h2, j, 0, 0)
+
+    kernel = functools.partial(
+        _shared_kvouter_packed_kernel,
+        scale=scale, block_q=bq, block_k=bk, seg_len=s,
+        include_input=include_input,
+    )
+    vmem = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, sq, d), lambda b_, h2, j: (b_, h2, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 2, s_in, d), lambda b_, h2, j: (b_, h2, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 2, s_in, d), lambda b_, h2, j: (b_, h2, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 2, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 2, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 2, 1, 2, d), aff_index, memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, sq, d), lambda b_, h2, j: (b_, h2, 0, 0), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sq, 2 * d), jnp.float32),  # packed output accumulator
+            pltpu.VMEM((sq, 2 * d), jnp.float32),  # running max (lane-broadcast per half)
+            pltpu.VMEM((sq, 2 * d), jnp.float32),  # running denominator
+        ],
+        interpret=interpret,
+    )(q, k_in, v_in, ref_k, ref_v, aff)
+
+
 def _shared_flash_attention_kvouter(
     q, k_in, v_in, ref_k, ref_v, aff, *,
     scale, include_input, block_q, block_k, interpret,
@@ -427,6 +613,13 @@ def shared_flash_attention(
 
         algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer")
     if algo == "kv_outer":
+        if d == 64 and h % 2 == 0 and sq % 2 == 0:
+            # two-head lane packing: both matmuls at full 128-lane MXU width
+            return _shared_flash_attention_kvouter_packed(
+                q, k_in, v_in, ref_k, ref_v, aff,
+                scale=scale, include_input=include_input,
+                block_q=min(block_q, 512), block_k=block_k, interpret=interpret,
+            )
         return _shared_flash_attention_kvouter(
             q, k_in, v_in, ref_k, ref_v, aff,
             scale=scale, include_input=include_input,

@@ -100,20 +100,66 @@ class Coach:
         self.disc_backbone = disc_backbone
         self.disc_heads = None
         # backbone selector (cv_discriminator.py:94-195 cv_type dispatch);
-        # 'dinov2' is the shipped config, 'vgg' the second supported backbone
-        self.disc_type = "vgg" if "vgg" in cfg.optim.gan_disc_type else "dinov2"
+        # 'dinov2' is the shipped config; the full reference surface (vgg /
+        # clip / dino / swin / face_seg / face_normals) is supported
+        gd = cfg.optim.gan_disc_type
+        known = ("face_normals", "face_seg", "swin", "clip", "dinov2", "dino", "vgg")
+        if gd in known:
+            self.disc_type = gd
+        elif "vgg" in gd:
+            self.disc_type = "vgg"
+        else:
+            # includes the config default 'vagan_clip', which the reference
+            # Coach would reject outright (coach.py:425-426); shipped configs
+            # set dinov2 and we keep that as the graceful fallback
+            self.disc_type = "dinov2"
         if cfg.optim.lambda_gan > 0:
-            if self.disc_type == "vgg":
+            k_bb, k_hd = jax.random.fold_in(key, 2), jax.random.fold_in(key, 3)
+            # SimpleD-headed conv backbones (in_ch/out_size per
+            # cv_discriminator.py:137-146)
+            simple = {"vgg": (512, 3), "swin": (768, 3),
+                      "face_seg": (256, 4), "face_normals": (512, 4)}
+            if self.disc_type in simple:
                 if self.disc_backbone is None:
-                    self.disc_backbone = gan_mod.init_vgg_backbone(
-                        jax.random.fold_in(key, 2)
-                    )
-                self.disc_heads = gan_mod.init_simple_head(jax.random.fold_in(key, 3))
+                    if self.disc_type == "vgg":
+                        self.disc_backbone = gan_mod.init_vgg_backbone(k_bb)
+                    elif self.disc_type == "swin":
+                        from instantrestore_tpu.models.swin import init_swin_params
+
+                        self.disc_backbone = init_swin_params(k_bb)
+                    elif self.disc_type == "face_seg":
+                        from instantrestore_tpu.training.losses.backbones import (
+                            init_parsing_unet,
+                        )
+
+                        self.disc_backbone = init_parsing_unet(k_bb)
+                    else:
+                        from instantrestore_tpu.training.losses.backbones import (
+                            init_resnet18,
+                        )
+
+                        self.disc_backbone = init_resnet18(k_bb)
+                in_ch, out_size = simple[self.disc_type]
+                self.disc_heads = gan_mod.init_simple_head(
+                    k_hd, in_ch=in_ch, out_size=out_size
+                )
             else:
+                if vit_cfg is DINOV2_VITL14:
+                    # default arg: pick the backbone matching the disc type
+                    from instantrestore_tpu.models.vit import CLIP_VITB32, DINO_VITB16
+
+                    vit_cfg = {"clip": CLIP_VITB32, "dino": DINO_VITB16}.get(
+                        self.disc_type, vit_cfg
+                    )
+                    self.vit_cfg = vit_cfg
                 if self.disc_backbone is None:
-                    self.disc_backbone = init_vit_params(jax.random.fold_in(key, 2), vit_cfg)
+                    self.disc_backbone = init_vit_params(k_bb, vit_cfg)
+                # head dims per backbone (cv_discriminator.py:122-146)
+                out_ch = 128 if self.disc_type == "dino" else 256
+                token_dim = vit_cfg.proj_dim or vit_cfg.embed_dim
                 self.disc_heads = gan_mod.init_discriminator_heads(
-                    jax.random.fold_in(key, 3), embed_dim=vit_cfg.embed_dim
+                    k_hd, embed_dim=vit_cfg.embed_dim, out_ch=out_ch,
+                    token_dim=token_dim,
                 )
 
         # trainable masks + optimizers (two AdamW like the reference,
@@ -247,6 +293,13 @@ class Coach:
             or cfg.optim.lambda_pos_reg > 0
             or cfg.optim.lambda_neg_reg > 0
         )
+        # fused Pallas attention in training (custom VJP, ops/flash_vjp.py):
+        # prob-saving shared layers fall back to XLA per-call inside
+        # models/attention.py, so this is safe with the attention losses on
+        fused = cfg.compute.fused_attention
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self._fused_attention = fused
 
         def g_step(params, g_opt_state, disc_heads, batch, rng, landmark_layer=None):
             r_fwd, r_loss, r_cycle = jax.random.split(rng, 3)
@@ -278,6 +331,7 @@ class Coach:
                     rng=r_fwd,
                     statics=statics,
                     save_attn_probs=need_probs,
+                    use_fused_attention=fused,
                 )
                 total, losses = compute_generator_loss(
                     out,
@@ -363,6 +417,7 @@ class Coach:
                 statics=statics,
                 timestep=cfg.model.noise_timestep,
                 save_attn_probs=save_attn,
+                use_fused_attention=fused,
             )
             _, losses = compute_generator_loss(
                 out, batch, cfg.optim, rng=rng,

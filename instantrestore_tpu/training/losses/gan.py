@@ -31,8 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from instantrestore_tpu.models.vit import (
+    CLIP_VITB32,
     DINOV2_VITL14,
     ViTConfig,
+    clip_multi_level,
     vit_intermediate_layers,
 )
 from instantrestore_tpu.ops.primitives import init_conv2d, init_dense
@@ -40,6 +42,9 @@ from instantrestore_tpu.ops.primitives import init_conv2d, init_dense
 # cvmodel.py:183-189
 _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# the CLIP backbone is the only one normalized with the true CLIP std
+# (cvmodel.py:104-105); dino/dinov2/swin use the CLIP-mean/ImageNet-std mix
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 _BLUR4 = np.array([1.0, 3.0, 3.0, 1.0])
 _BLUR4 = np.outer(_BLUR4, _BLUR4)
@@ -205,10 +210,11 @@ def vgg_backbone_features(params: Dict[str, Any], x_pm1: jnp.ndarray) -> jnp.nda
     return x
 
 
-def init_simple_head(key, in_ch: int = 512, out_ch: int = 256) -> Dict[str, Any]:
+def init_simple_head(key, in_ch: int = 512, out_ch: int = 256, out_size: int = 3) -> Dict[str, Any]:
     """SimpleD (cv_discriminator.py:49-72): blurpool -> SNConv3x3 s2 ->
     LeakyReLU -> flatten -> SNLinear(out_size^2*out_ch -> out_ch) ->
-    LeakyReLU -> SNLinear(->1), out_size=3 on the 7x7 vgg map.
+    LeakyReLU -> SNLinear(->1), out_size=3 on the 7x7 vgg/swin maps and 4 on
+    the 8x8 face_seg/face_normals maps (cv_discriminator.py:137-146).
 
     (The torch original's asymmetric BlurPool padding would actually produce
     4x4 and shape-mismatch its own out_size=3 Linear — dead code there since
@@ -223,7 +229,7 @@ def init_simple_head(key, in_ch: int = 512, out_ch: int = 256) -> Dict[str, Any]
 
     return {
         "conv1": sn(init_conv2d(next(keys), in_ch, out_ch, 3), next(keys)),
-        "fc1": sn(init_dense(next(keys), out_ch * 3 * 3, out_ch), next(keys)),
+        "fc1": sn(init_dense(next(keys), out_ch * out_size * out_size, out_ch), next(keys)),
         "out": sn(init_dense(next(keys), out_ch, 1), next(keys)),
     }
 
@@ -240,14 +246,46 @@ def _simple_head_apply(heads, fmap, *, update_sn: bool):
     return [out], {"conv1": c1, "fc1": f1, "out": fo}
 
 
+def init_mlp_head(key, in_ch: int = 768, out_ch: int = 256) -> Dict[str, Any]:
+    """MLPD (cv_discriminator.py:75-92): SNLinear -> LeakyReLU -> SNLinear(1),
+    the head for pooled-embedding output types ('adv' without
+    conv_multi_level) on the ViT backbones."""
+    keys = iter(jax.random.split(key, 4))
+
+    def sn(p, k):
+        p = dict(p)
+        p["u"] = _sn_init(k, p["kernel"].shape)
+        return p
+
+    return {
+        "fc1": sn(init_dense(next(keys), in_ch, out_ch), next(keys)),
+        "out": sn(init_dense(next(keys), out_ch, 1), next(keys)),
+    }
+
+
+def _mlp_head_apply(heads, embed, *, update_sn: bool):
+    """embed [B, C] -> ([B,1] logits, new heads)."""
+    h, f1 = _sn_dense(heads["fc1"], embed.astype(jnp.float32), update=update_sn)
+    h = jax.nn.leaky_relu(h, 0.2)
+    out, fo = _sn_dense(heads["out"], h, update=update_sn)
+    return [out], {"fc1": f1, "out": fo}
+
+
 # ---------------------------------------------------------------------------
 # discriminator
 # ---------------------------------------------------------------------------
 
 
-def init_discriminator_heads(key, embed_dim: int = 1024, out_ch: int = 256) -> Dict[str, Any]:
-    """MultiLevelDViT(dinov2): 2 conv branches + class-token MLP branch."""
+def init_discriminator_heads(
+    key, embed_dim: int = 1024, out_ch: int = 256, token_dim: Optional[int] = None
+) -> Dict[str, Any]:
+    """MultiLevelDViT: 2 conv branches + class-token MLP branch.
+    Dimensions per backbone (cv_discriminator.py:122-146): dinov2
+    (1024/256/1024), dino (768/128/768), clip (768/256/512 — token branch
+    consumes the projected CLIP embedding)."""
     keys = iter(jax.random.split(key, 16))
+    if token_dim is None:
+        token_dim = embed_dim
 
     def sn(p, k):
         p = dict(p)
@@ -264,20 +302,28 @@ def init_discriminator_heads(key, embed_dim: int = 1024, out_ch: int = 256) -> D
         )
     return {
         "spatial": branches,
-        "token_fc": sn(init_dense(next(keys), embed_dim, out_ch), next(keys)),
+        "token_fc": sn(init_dense(next(keys), token_dim, out_ch), next(keys)),
         "token_out": sn(init_dense(next(keys), out_ch, 1), next(keys)),
     }
 
 
-def _heads_apply(heads, feats, *, update_sn: bool):
-    """feats: ([B,16,16,1024], [B,16,16,1024], [B,1024]) -> list of logits."""
+def _heads_apply(heads, feats, *, update_sn: bool, down: int = 2):
+    """feats: (fmap, fmap, token) -> list of logits. ``down`` mirrors
+    MultiLevelDViT's down arg: 2 = blurpool + strided conv (dino/dinov2 on
+    16x16/14x14 grids), 1 = stride-1 conv3 (clip on the 7x7 grid,
+    cv_discriminator.py:18-24)."""
     new_heads = {"spatial": [], "token_fc": None, "token_out": None}
     logits = []
     for branch, fmap in zip(heads["spatial"], feats[:2]):
-        h = _blurpool(fmap, pad=2)
-        h, c1 = _sn_conv(branch["conv1"], h, stride=2, padding=0, update=update_sn)
+        if down > 1:
+            h = _blurpool(fmap, pad=2)
+            h, c1 = _sn_conv(branch["conv1"], h, stride=2, padding=0, update=update_sn)
+        else:
+            h, c1 = _sn_conv(branch["conv1"], fmap, stride=1, padding=1, update=update_sn)
         h = jax.nn.leaky_relu(h, 0.2)
-        h = _blurpool(h, pad=1)
+        # pad keeps the declared 4x4 logit geometry on both the 8x8 (down=2)
+        # and 7x7 (down=1, clip) grids
+        h = _blurpool(h, pad=1 if down > 1 else 2)
         h, c2 = _sn_conv(branch["conv2"], h, stride=2, padding=0, update=update_sn)
         logits.append(h[..., 0])  # [B, 4, 4]
         new_heads["spatial"].append({"conv1": c1, "conv2": c2})
@@ -323,22 +369,52 @@ def discriminate(
     """Full vision-aided D pass: DiffAugment -> frozen backbone features ->
     SN heads -> multilevel sigmoid loss (per sample [B,1]). Returns
     (loss, new_heads). ``disc_type`` selects the backbone/head pair
-    (cfg.optim.gan_disc_type): 'dinov2' (MultiLevelDViT, the shipped config)
-    or 'vgg' (SimpleD, cv_discriminator.py:137-138)."""
+    (cfg.optim.gan_disc_type): 'dinov2' (MultiLevelDViT, the shipped config),
+    'dino' (ViT-B/16, same tap scheme), 'clip' (ViT-B/32 multi-level) or
+    'vgg' (SimpleD, cv_discriminator.py:137-138)."""
     x = diff_augment(images, rng) if diffaug else images
 
-    if disc_type == "vgg":
-        fmap = vgg_backbone_features(backbone_params, x)
+    # single-feature-map backbones -> SimpleD head
+    if disc_type in ("vgg", "swin", "face_seg", "face_normals"):
+        if disc_type == "vgg":
+            fmap = vgg_backbone_features(backbone_params, x)
+        elif disc_type == "swin":
+            from instantrestore_tpu.models.swin import swin_features
+
+            b = x.shape[0]
+            x224 = jax.image.resize(x * 0.5 + 0.5, (b, 224, 224, 3), method="linear")
+            x224 = (x224 - jnp.asarray(_CLIP_MEAN)) / jnp.asarray(_IMAGENET_STD)
+            fmap = swin_features(backbone_params, x224)
+        elif disc_type == "face_seg":
+            from instantrestore_tpu.training.losses.backbones import face_seg_features
+
+            fmap = face_seg_features(backbone_params, x)
+        else:
+            from instantrestore_tpu.training.losses.backbones import (
+                face_normals_features,
+            )
+
+            fmap = face_normals_features(backbone_params, x)
         if not for_g:
             fmap = jax.lax.stop_gradient(fmap)
         logits, new_heads = _simple_head_apply(heads, fmap, update_sn=update_sn)
         return multilevel_sigmoid_loss(logits, for_real=for_real, for_g=for_g), new_heads
 
-    # cvmodel.py:187-189: area-resize to 224, CLIP-mean/ImageNet-std normalize
+    # cvmodel.py:187-189: area-resize to 224, CLIP-mean normalize (true CLIP
+    # std for the clip backbone, ImageNet std for dino/dinov2)
     x01 = x * 0.5 + 0.5
     b = x01.shape[0]
     x224 = jax.image.resize(x01, (b, 224, 224, 3), method="linear")
-    x224 = (x224 - jnp.asarray(_CLIP_MEAN)) / jnp.asarray(_IMAGENET_STD)
+    std = _CLIP_STD if disc_type == "clip" else _IMAGENET_STD
+    x224 = (x224 - jnp.asarray(_CLIP_MEAN)) / jnp.asarray(std)
+
+    if disc_type == "clip":
+        clip_cfg = vit_cfg if vit_cfg.proj_dim else CLIP_VITB32
+        f0, f1, tok = clip_multi_level(backbone_params, x224, cfg=clip_cfg)
+        if not for_g:
+            f0, f1, tok = (jax.lax.stop_gradient(f) for f in (f0, f1, tok))
+        logits, new_heads = _heads_apply(heads, (f0, f1, tok), update_sn=update_sn, down=1)
+        return multilevel_sigmoid_loss(logits, for_real=for_real, for_g=for_g), new_heads
 
     n_taps = min(8, vit_cfg.depth)
     inter = vit_intermediate_layers(backbone_params, x224, n=n_taps, cfg=vit_cfg)

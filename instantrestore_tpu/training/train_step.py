@@ -53,6 +53,7 @@ def make_train_step(
     trainable_mask: Any,
     loss_fn: Callable = default_loss_fn,
     save_attn_probs: bool = False,
+    use_fused_attention: bool = False,
 ):
     """Build the jittable G train step.
 
@@ -71,6 +72,7 @@ def make_train_step(
                 rng=rng,
                 statics=statics,
                 save_attn_probs=save_attn_probs,
+                use_fused_attention=use_fused_attention,
             )
             total, losses = loss_fn(out, batch, optim_cfg)
             return total, (losses, out)

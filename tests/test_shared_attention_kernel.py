@@ -91,3 +91,29 @@ def test_zeroed_ref_segments_preserved(rng):
     wk, wv = widen_kv(k_in, v_in, rk, rv)
     ref = _xla_attention(q, wk, wv, d ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("include_input", [True, False])
+@pytest.mark.parametrize("use_adain", [True, False])
+def test_packed_kvouter_matches_widen_kv_path(rng, include_input, use_adain):
+    """d=64 + even heads dispatches to the two-head lane-packed KV-outer
+    kernel; output must match the XLA widen_kv path exactly like the
+    unpacked kernels do."""
+    b, h, s, d, n = 1, 4, 64, 64, 2
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+
+    wk, wv = widen_kv(k_in, v_in, rk, rv, use_adain=use_adain, train_input=include_input)
+    ref = _xla_attention(q, wk, wv, scale)
+
+    affine = adain_affine(v_in, rv) if use_adain else None
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=scale, v_affine=affine,
+        include_input=include_input, block_q=32, block_k=32, interpret=True,
+        algo="kv_outer",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
