@@ -39,6 +39,7 @@ from instantrestore_tpu.ops.primitives import (
     init_dense,
     init_norm,
     layer_norm,
+    nearest_upsample_2x,
     silu,
     geglu,
     timestep_embedding,
@@ -315,6 +316,7 @@ def _transformer(
     return h.reshape(b, hgt, wdt, c) + residual, aux_out
 
 
+@jax.named_scope("unet")
 def unet_apply(
     params: Dict[str, Any],
     sample: jnp.ndarray,
@@ -421,8 +423,7 @@ def unet_apply(
                     probs_list.append(aux["probs"])
                 shared_idx += 1
         if "upsamplers" in bp:
-            b_, h_, w_, c_ = x.shape
-            x = jax.image.resize(x, (b_, h_ * 2, w_ * 2, c_), method="nearest")
+            x = nearest_upsample_2x(x)
             x = conv2d(bp["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling)
 
     x = group_norm(params["conv_norm_out"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)

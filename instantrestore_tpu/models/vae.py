@@ -32,6 +32,7 @@ from instantrestore_tpu.ops.primitives import (
     init_conv2d,
     init_dense,
     init_norm,
+    nearest_upsample_2x,
     silu,
 )
 
@@ -198,6 +199,7 @@ def _mid(p, x, *, cfg: VAEConfig, lora_scaling: float, use_fused: bool = False):
     return x
 
 
+@jax.named_scope("vae_encode")
 def vae_encode(
     params: Dict[str, Any],
     images: jnp.ndarray,
@@ -253,6 +255,7 @@ def sample_latent(mean: jnp.ndarray, logvar: jnp.ndarray, rng: Optional[jax.Arra
     return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
 
 
+@jax.named_scope("vae_decode")
 def vae_decode(
     params: Dict[str, Any],
     latents: jnp.ndarray,
@@ -285,8 +288,7 @@ def vae_decode(
         for rp in block["resnets"]:
             x = _resnet(rp, x, cfg=cfg, lora_scaling=lora_scaling)
         if "upsamplers" in block:
-            b_, h_, w_, c_ = x.shape
-            x = jax.image.resize(x, (b_, h_ * 2, w_ * 2, c_), method="nearest")
+            x = nearest_upsample_2x(x)
             x = conv2d(block["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling)
 
     x = group_norm(p["conv_norm_out"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)

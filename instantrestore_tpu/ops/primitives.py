@@ -153,6 +153,18 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-neighbor upsample [B, H, W, C] as broadcast + reshape.
+
+    Bit-identical to jax.image.resize(method='nearest') at exactly 2x, but
+    XLA lowers resize to gather while-loops on TPU (measured ~33 ms across
+    the decoder upsamples at batch 16) whereas this compiles to a cheap
+    fused broadcast."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     # diffusers GEGLU uses exact (erf) gelu, matching torch F.gelu default.
     return jax.nn.gelu(x, approximate=False)

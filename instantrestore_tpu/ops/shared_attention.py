@@ -111,6 +111,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    algo: Optional[str] = None,  # 'bound' (default) | 'online'
 ) -> jnp.ndarray:
     """q [B, H, Sq, d], k/v [B, H, Skv, d] -> [B, H, Sq, d]."""
     b, h, sq, d = q.shape
@@ -126,6 +127,14 @@ def flash_attention(
     assert sq % bq == 0 and skv % bk == 0, (sq, skv, bq, bk)
     grid = (b, h, sq // bq, skv // bk)
     interpret = _interpret_default() if interpret is None else interpret
+    if algo is None:
+        import os
+
+        algo = os.environ.get("INSTANTRESTORE_FLASH_ALGO", "bound")
+    if algo == "bound":
+        return _flash_attention_bound(
+            q, k, v, scale=scale, block_q=bq, block_k=bk, interpret=interpret
+        )
     return pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
@@ -152,6 +161,84 @@ def flash_attention(
         ],
         interpret=interpret,
     )(q, k, v)
+
+
+def _flash_bound_kernel(q_ref, k_ref, v_ref, kmax_ref, o_ref, acc, bound_scr, l_scr, *, scale):
+    """Plain attention with the precomputed softmax bound (see
+    _shared_kvouter_bound_kernel for the numerics argument): no running max,
+    no accumulator rescale — p = exp2(s2 - scale*log2e*||q_i||*max||k||).
+    d < 128: MXU row-sum via the ones column; d >= 128: plain additive VPU
+    row-sum (no alpha bookkeeping needed either way)."""
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+    d = q_ref.shape[-1]
+    mxu_sum = acc.shape[-1] > d
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        qf = q_ref[0, 0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
+        bound = qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+        bound_scr[:] = jnp.broadcast_to(bound, bound_scr.shape)
+
+    q = q_ref[0, 0] * jnp.asarray(scale * LOG2E, q_ref.dtype)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2((s - bound_scr[:, :1]).astype(v.dtype))
+    bk = v.shape[0]
+    if mxu_sum:
+        pad = acc.shape[-1] - d - 1
+        v_pad = jnp.concatenate(
+            [v, jnp.ones((bk, 1), v.dtype), jnp.zeros((bk, pad), v.dtype)], axis=1
+        )
+        acc[:] = acc[:] + jax.lax.dot(p, v_pad, preferred_element_type=jnp.float32)
+    else:
+        acc[:] = acc[:] + jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        l_scr[:, :1] = l_scr[:, :1] + jnp.sum(
+            p.astype(jnp.float32), axis=1, keepdims=True
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        if mxu_sum:
+            o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_attention_bound(q, k, v, *, scale, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    kmax = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)).max(axis=2)
+    kmax = jnp.broadcast_to(kmax[:, :, None, None], (b, h, 8, 128))
+    grid = (b, h, sq // bq, skv // bk)
+    return pl.pallas_call(
+        functools.partial(_flash_bound_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j: (b_, h_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j: (b_, h_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b_, h_, i, j: (b_, h_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128 if d < 128 else d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, kmax)
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +410,164 @@ def _shared_kvouter_kernel(
     @pl.when(j == nj - 1)
     def _():
         o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
+
+
+def _shared_kvouter_bound_kernel(
+    q_ref, kin_ref, vin_ref, rk_ref, rv_ref, aff_ref, kmax_ref, o_ref,
+    acc, bound_scr,
+    *, scale, block_q, block_k, seg_len, include_input,
+):
+    """KV-outer kernel with a precomputed softmax bound instead of the online
+    running max (the serving default; ~24 -> ~17 ms at the 64^2 layer).
+
+    Online softmax spends roughly as many VPU cycles on the running-max
+    bookkeeping (max over each score tile, alpha rescale of the full
+    accumulator, m updates) as on the exponentials themselves, and those ops
+    serialize against the MXU dots. This variant sheds ALL of it by
+    normalizing with a per-row upper bound computed once per (b, h):
+
+        bound_i = scale * log2e * ||q_i|| * max_j ||k_j||   >=  max_j s2_ij
+
+    (Cauchy-Schwarz). p = exp2(s2 - bound) then satisfies p <= 1 and the
+    final o = num/den is invariant to the common 2^(m-bound) factor.
+    Numerics: bf16 carries fp32's 8-bit exponent, so even ~100 log2 units of
+    slack cannot underflow p to zero (min normal 2^-126); relative precision
+    stays the same 8-bit mantissa the online-max path already has once p is
+    cast to bf16 for the MXU. With d=64 activations the slack is ~10-20 log2
+    units in practice. max_j ||k_j|| arrives via ``kmax_ref`` (computed by
+    the wrapper over input + reference keys; AdaIN modulates V only)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    d = q_ref.shape[-1]
+    sq = q_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        qf = q_ref[0, 0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))  # [Sq, 1]
+        bound = qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+        bound_scr[:] = jnp.broadcast_to(bound, bound_scr.shape)
+
+    v_scale = aff_ref[0, 0, 0, 0, :]
+    v_shift = aff_ref[0, 0, 0, 1, :]
+    pad = acc.shape[-1] - d - 1
+    ones_col = jnp.concatenate(
+        [jnp.ones((block_k, 1), jnp.float32), jnp.zeros((block_k, pad), jnp.float32)],
+        axis=1,
+    )
+    qscale = jnp.asarray(scale * LOG2E, q_ref.dtype)
+
+    def kv_body(c, _):
+        start = c * block_k
+        if include_input:
+            k_seg = jax.lax.cond(
+                j == 0,
+                lambda: kin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rk_ref[0, 0, 0, pl.ds(start, block_k), :],
+            )
+            v_seg = jax.lax.cond(
+                j == 0,
+                lambda: vin_ref[0, 0, pl.ds(start, block_k), :],
+                lambda: rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype),
+            )
+        else:
+            k_seg = rk_ref[0, 0, 0, pl.ds(start, block_k), :]
+            v_seg = (
+                rv_ref[0, 0, 0, pl.ds(start, block_k), :]
+                * v_scale[None, :].astype(rv_ref.dtype)
+                + v_shift[None, :].astype(rv_ref.dtype)
+            )
+        v_pad = jnp.concatenate([v_seg, ones_col.astype(v_seg.dtype)], axis=1)
+
+        def q_body(qi, _):
+            qs = qi * block_q
+            q = q_ref[0, 0, pl.ds(qs, block_q), :] * qscale
+            s = jax.lax.dot_general(
+                q, k_seg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            p = jnp.exp2((s - bound_scr[pl.ds(qs, block_q), :1]).astype(v_seg.dtype))
+            acc[pl.ds(qs, block_q), :] = acc[pl.ds(qs, block_q), :] + jax.lax.dot(
+                p, v_pad, preferred_element_type=jnp.float32
+            )
+            return ()
+
+        jax.lax.fori_loop(0, sq // block_q, q_body, ())
+        return ()
+
+    jax.lax.fori_loop(0, seg_len // block_k, kv_body, ())
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc[:, :d] / acc[:, d : d + 1]).astype(o_ref.dtype)
+
+
+def _shared_flash_attention_kvouter_bound(
+    q, k_in, v_in, ref_k, ref_v, aff, *,
+    scale, include_input, block_q, block_k, interpret,
+):
+    b, h, sq, d = q.shape
+    n = ref_k.shape[1]
+    s = ref_k.shape[3]
+    bq = min(block_q, sq)
+    bk = min(block_k, s)
+    n_seg = n + 1 if include_input else n
+    grid = (b, h, n_seg)
+
+    # max_j ||k_j|| over every key the kernel will see (zeroed invalid refs
+    # contribute norm 0 — bound stays valid)
+    rk_norm = jnp.sqrt(
+        jnp.sum(jnp.square(ref_k.astype(jnp.float32)), axis=-1)
+    ).max(axis=(1, 3))  # [B, H]
+    if include_input:
+        kin_norm = jnp.sqrt(
+            jnp.sum(jnp.square(k_in.astype(jnp.float32)), axis=-1)
+        ).max(axis=2)
+        kmax = jnp.maximum(rk_norm, kin_norm)
+    else:
+        kmax = rk_norm
+    kmax = jnp.broadcast_to(kmax[:, :, None, None], (b, h, 8, 128))
+
+    if include_input:
+        ref_index = lambda b_, h_, j: (b_, jnp.maximum(j - 1, 0), h_, 0, 0)
+        s_in = s
+    else:
+        ref_index = lambda b_, h_, j: (b_, j, h_, 0, 0)
+        s_in = 8
+        k_in = k_in[:, :, :s_in, :]
+        v_in = v_in[:, :, :s_in, :]
+    aff_index = lambda b_, h_, j: (b_, h_, j, 0, 0)
+
+    kernel = functools.partial(
+        _shared_kvouter_bound_kernel,
+        scale=scale, block_q=bq, block_k=bk, seg_len=s,
+        include_input=include_input,
+    )
+    vmem = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s_in, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, s_in, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, s, d), ref_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2, d), aff_index, memory_space=vmem),
+            pl.BlockSpec((1, 1, 8, 128), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sq, max(128, d + 1)), jnp.float32),
+            pltpu.VMEM((sq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k_in, v_in, ref_k, ref_v, aff, kmax)
 
 
 def _shared_kvouter_packed_kernel(
@@ -611,15 +856,25 @@ def shared_flash_attention(
     if algo is None:
         import os
 
-        algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer")
-    if algo == "kv_outer":
-        if d == 64 and h % 2 == 0 and sq % 2 == 0:
-            # two-head lane packing: both matmuls at full 128-lane MXU width
-            return _shared_flash_attention_kvouter_packed(
-                q, k_in, v_in, ref_k, ref_v, aff,
-                scale=scale, include_input=include_input,
-                block_q=min(block_q, 512), block_k=block_k, interpret=interpret,
-            )
+        algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer_bound")
+    if algo == "kv_outer_bound":
+        return _shared_flash_attention_kvouter_bound(
+            q, k_in, v_in, ref_k, ref_v, aff,
+            scale=scale, include_input=include_input,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+    if algo == "kv_outer_packed" and d <= 64 and h % 2 == 0:
+        # two-head lane packing: both matmuls at full 128-lane MXU width.
+        # Measured SLOWER than plain kv_outer on v5e (4.4 vs 3.1 ms at the
+        # 32^2 layer, batch 16): the in-VMEM block-diagonal K/V expansion and
+        # per-half softmax bookkeeping are VPU copies that outweigh the MXU
+        # win at these sizes — kept as an opt-in algo for bigger-d studies.
+        return _shared_flash_attention_kvouter_packed(
+            q, k_in, v_in, ref_k, ref_v, aff,
+            scale=scale, include_input=include_input,
+            block_q=min(block_q, 512), block_k=block_k, interpret=interpret,
+        )
+    if algo.startswith("kv_outer"):
         return _shared_flash_attention_kvouter(
             q, k_in, v_in, ref_k, ref_v, aff,
             scale=scale, include_input=include_input,

@@ -30,7 +30,7 @@ def test_flash_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("algo", ["q_outer", "kv_outer"])
+@pytest.mark.parametrize("algo", ["q_outer", "kv_outer", "kv_outer_bound"])
 @pytest.mark.parametrize("include_input", [True, False])
 @pytest.mark.parametrize("use_adain", [True, False])
 def test_shared_flash_matches_widen_kv_path(rng, include_input, use_adain, algo):
@@ -114,6 +114,25 @@ def test_packed_kvouter_matches_widen_kv_path(rng, include_input, use_adain):
     out = shared_flash_attention(
         q, k_in, v_in, rk, rv, scale=scale, v_affine=affine,
         include_input=include_input, block_q=32, block_k=32, interpret=True,
-        algo="kv_outer",
+        algo="kv_outer_packed",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.parametrize("d", [8, 256])
+def test_flash_bound_matches_xla(rng, d):
+    """Plain flash with the precomputed softmax bound (serving default) —
+    both the MXU-rowsum (d<128) and VPU-rowsum (d>=128) paths."""
+    b, h, sq, skv = 2, 2, 64, 128
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)), jnp.float32)
+    scale = d ** -0.5
+    out = flash_attention(q, k, v, scale=scale, block_q=32, block_k=32,
+                          interpret=True, algo="bound")
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    # online algo unchanged
+    out2 = flash_attention(q, k, v, scale=scale, block_q=32, block_k=32,
+                           interpret=True, algo="online")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=5e-5)
