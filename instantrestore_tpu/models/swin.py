@@ -129,6 +129,14 @@ def _swin_block(bp, x, h, w_img, heads, window, shift, cfg: SwinConfig):
     hd = c // heads
     shortcut = x
     hx = layer_norm(bp["norm1"], x, eps=cfg.norm_eps).reshape(b, h, w_img, c)
+    # dense-prediction inputs (e.g. 256px seg_ade/det_coco backbones) give
+    # grids that aren't window multiples: zero-pad bottom/right like the
+    # mmdet SwinTransformer (swintaskspecific.py:154-260), un-pad after
+    pad_h = (-h) % window
+    pad_w = (-w_img) % window
+    hp, wp = h + pad_h, w_img + pad_w
+    if pad_h or pad_w:
+        hx = jnp.pad(hx, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     if shift:
         hx = jnp.roll(hx, (-shift, -shift), (1, 2))
     wins = _window_partition(hx, window)  # [b*nW, w2, c]
@@ -145,15 +153,17 @@ def _swin_block(bp, x, h, w_img, heads, window, shift, cfg: SwinConfig):
     bias = bp["attn"]["rel_bias"][jnp.asarray(_rel_position_index(window))]
     logits = logits + bias.transpose(2, 0, 1)[None].astype(logits.dtype)
     if shift:
-        mask = jnp.asarray(_shift_attn_mask(h, w_img, window, shift))
+        mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
         logits = logits.reshape(b, nw, heads, w2, w2) + mask[None, :, None]
         logits = logits.reshape(-1, heads, w2, w2)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     o = jnp.einsum("nhqk,nhkd->nhqd", probs, v).transpose(0, 2, 1, 3).reshape(-1, w2, c)
     o = dense(bp["attn"]["proj"], o)
-    o = _window_reverse(o, window, h, w_img)
+    o = _window_reverse(o, window, hp, wp)
     if shift:
         o = jnp.roll(o, (shift, shift), (1, 2))
+    if pad_h or pad_w:
+        o = o[:, :h, :w_img]
     x = shortcut + o.reshape(b, h * w_img, c)
 
     hx = layer_norm(bp["norm2"], x, eps=cfg.norm_eps)
@@ -225,6 +235,11 @@ def convert_swin_params(sd: Dict[str, Any]) -> Dict[str, Any]:
             p["bias"] = jnp.asarray(np_(sd[f"{name}.bias"]))
         return p
 
+    # the MoBY/timm layout calls the final LayerNorm 'norm'; the mmdet
+    # dense-prediction layout (seg_ade/det_coco ckpts after the 'backbone.'
+    # strip) has per-stage norms 'norm0..norm3' — the stride-32 output the
+    # discriminator consumes is norm3
+    final_norm = "norm" if "norm.weight" in sd else "norm3"
     params: Dict[str, Any] = {
         "patch_embed": {
             "kernel": jnp.asarray(np_(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)),
@@ -232,7 +247,7 @@ def convert_swin_params(sd: Dict[str, Any]) -> Dict[str, Any]:
         },
         "patch_norm": norm("patch_embed.norm"),
         "stages": [],
-        "norm": norm("norm"),
+        "norm": norm(final_norm),
     }
     si = 0
     while f"layers.{si}.blocks.0.norm1.weight" in sd:

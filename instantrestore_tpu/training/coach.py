@@ -103,7 +103,8 @@ class Coach:
         # 'dinov2' is the shipped config; the full reference surface (vgg /
         # clip / dino / swin / face_seg / face_normals) is supported
         gd = cfg.optim.gan_disc_type
-        known = ("face_normals", "face_seg", "swin", "clip", "dinov2", "dino", "vgg")
+        known = ("face_normals", "face_seg", "swin", "clip", "dinov2", "dino",
+                 "vgg", "seg_ade", "det_coco")
         if gd in known:
             self.disc_type = gd
         elif "vgg" in gd:
@@ -118,12 +119,13 @@ class Coach:
             # SimpleD-headed conv backbones (in_ch/out_size per
             # cv_discriminator.py:137-146)
             simple = {"vgg": (512, 3), "swin": (768, 3),
-                      "face_seg": (256, 4), "face_normals": (512, 4)}
+                      "face_seg": (256, 4), "face_normals": (512, 4),
+                      "seg_ade": (768, 4), "det_coco": (768, 4)}
             if self.disc_type in simple:
                 if self.disc_backbone is None:
                     if self.disc_type == "vgg":
                         self.disc_backbone = gan_mod.init_vgg_backbone(k_bb)
-                    elif self.disc_type == "swin":
+                    elif self.disc_type in ("swin", "seg_ade", "det_coco"):
                         from instantrestore_tpu.models.swin import init_swin_params
 
                         self.disc_backbone = init_swin_params(k_bb)

@@ -375,7 +375,7 @@ def discriminate(
     x = diff_augment(images, rng) if diffaug else images
 
     # single-feature-map backbones -> SimpleD head
-    if disc_type in ("vgg", "swin", "face_seg", "face_normals"):
+    if disc_type in ("vgg", "swin", "face_seg", "face_normals", "seg_ade", "det_coco"):
         if disc_type == "vgg":
             fmap = vgg_backbone_features(backbone_params, x)
         elif disc_type == "swin":
@@ -385,6 +385,16 @@ def discriminate(
             x224 = jax.image.resize(x * 0.5 + 0.5, (b, 224, 224, 3), method="linear")
             x224 = (x224 - jnp.asarray(_CLIP_MEAN)) / jnp.asarray(_IMAGENET_STD)
             fmap = swin_features(backbone_params, x224)
+        elif disc_type in ("seg_ade", "det_coco"):
+            # task-specific Swin backbones (swintaskspecific.py:623-659):
+            # 256px area resize, ImageNet normalize, stride-32 stage ->
+            # [B, 8, 8, 768] -> SimpleD(768, out_size=4)
+            from instantrestore_tpu.models.swin import swin_features
+
+            b = x.shape[0]
+            x256 = jax.image.resize(x * 0.5 + 0.5, (b, 256, 256, 3), method="linear")
+            x256 = (x256 - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+            fmap = swin_features(backbone_params, x256)
         elif disc_type == "face_seg":
             from instantrestore_tpu.training.losses.backbones import face_seg_features
 

@@ -427,3 +427,22 @@ def test_mlp_head(rng):
     loss = gan.multilevel_sigmoid_loss(logits, for_real=True)
     assert loss.shape == (3, 1) and np.isfinite(np.asarray(loss)).all()
     assert not np.allclose(np.asarray(new_heads["fc1"]["u"]), np.asarray(heads["fc1"]["u"]))
+
+
+def test_seg_ade_det_coco_swin_256(rng):
+    """Task-specific Swin cv_types (swintaskspecific.py:623-659): 256px
+    input, window-padded grids (64 is not a multiple of 7), stride-32
+    features + SimpleD(768, out_size=4)."""
+    from instantrestore_tpu.models.swin import SwinConfig, init_swin_params, swin_features
+
+    cfg = SwinConfig(embed_dim=12, depths=(1, 1), num_heads=(2, 4))
+    backbone = init_swin_params(jax.random.PRNGKey(0), cfg)
+    # 64px input -> 16x16 grid (not divisible by window 7) -> pad path
+    fmap = swin_features(backbone, jnp.zeros((1, 64, 64, 3)), cfg=cfg)
+    assert fmap.shape == (1, 8, 8, 24)
+    assert np.isfinite(np.asarray(fmap)).all()
+
+    heads = gan.init_simple_head(jax.random.PRNGKey(1), in_ch=24, out_size=4)
+    imgs = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).clip(-1, 1), jnp.float32)
+    # monkeypatch-free: call the dispatch with the tiny cfg via swin_features
+    # geometry (discriminate resizes to 256 which pads 64->70 per stage)
