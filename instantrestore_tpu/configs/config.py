@@ -40,6 +40,9 @@ class ComputeConfig:
     # kernels on CPU are correct but slow). Layers that must materialize
     # attention probabilities for losses always take the XLA path.
     fused_attention: Optional[bool] = None
+    # jax.checkpoint each restore stage in the train step: required for
+    # full-size (512px) training on a 16 GB chip. None = auto: on for TPU.
+    remat: Optional[bool] = None
 
     def __post_init__(self):
         if self.test_batch_size is None:

@@ -121,8 +121,9 @@ def rnet_apply(p, x):
     h = _prelu(p["prelu2"], _conv(p["conv2"], h))
     h = _maxpool_ceil(h, 3, 2)
     h = _prelu(p["prelu3"], _conv(p["conv3"], h))
-    # torch flattens NCHW; permute to match the converted dense kernels
-    h = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
+    # facenet_pytorch flattens after permute(0, 3, 2, 1) — (N, W, H, C)
+    # order — so converted dense kernels expect that layout
+    h = h.transpose(0, 2, 1, 3).reshape(h.shape[0], -1)
     h = _prelu(p["prelu4"], h @ p["dense4"]["kernel"] + p["dense4"]["bias"])
     probs = jax.nn.softmax(h @ p["dense5_1"]["kernel"] + p["dense5_1"]["bias"], -1)[:, 1]
     reg = h @ p["dense5_2"]["kernel"] + p["dense5_2"]["bias"]
@@ -138,7 +139,8 @@ def onet_apply(p, x):
     h = _prelu(p["prelu3"], _conv(p["conv3"], h))
     h = _maxpool_ceil(h, 2, 2)
     h = _prelu(p["prelu4"], _conv(p["conv4"], h))
-    h = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
+    # same (N, W, H, C) flatten order as RNet
+    h = h.transpose(0, 2, 1, 3).reshape(h.shape[0], -1)
     h = _prelu(p["prelu5"], h @ p["dense5"]["kernel"] + p["dense5"]["bias"])
     probs = jax.nn.softmax(h @ p["dense6_1"]["kernel"] + p["dense6_1"]["bias"], -1)[:, 1]
     reg = h @ p["dense6_2"]["kernel"] + p["dense6_2"]["bias"]

@@ -116,6 +116,10 @@ class Predictor:
         for im in cond_imgs[:max_refs]:
             e = self.face_embed_provider(im) if self.face_embed_provider else None
             embeds.append(np.zeros(512, np.float32) if e is None else np.asarray(e, np.float32))
+        if not embeds:
+            # no conditioning images at all: all-zero embeddings, matching
+            # the per-image detection-failure path
+            return np.zeros((max_refs, 512), np.float32)
         n = len(embeds)
         for i in range(max_refs - n):
             embeds.append(embeds[i % n])

@@ -56,13 +56,24 @@ class ServingEngine:
         use_fused_attention: bool = True,
         timestep: int = 249,
         donate_cache: bool = False,
+        resolution: Optional[int] = None,
     ):
         self.params = params
         self.statics = statics
         self.timestep = timestep
         self.kv_cache: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None
+        # model pixel resolution (latent grid x the VAE's 8x downsampling):
+        # uint8 inputs of any size are resized/cropped to this inside the
+        # compiled programs
+        if resolution is None:
+            resolution = statics.unet_cfg.sample_size * 2 ** (
+                len(statics.vae_cfg.block_out_channels) - 1
+            )
+        self.resolution = resolution
 
         abar = sched.make_alphas_cumprod()
+
+        resolution = self.resolution
 
         @jax.jit
         def _onboard(params, refs, rng):
@@ -70,10 +81,9 @@ class ServingEngine:
             # times): onboarding is amortized, and a flat [I*N, 512, 512]
             # VAE encode would blow HBM at I=16 (fp32 GN temps)
             i, n = refs.shape[:2]
-            res = refs.shape[3]
             refs = _maybe_preprocess(
-                refs.reshape(i * n, *refs.shape[2:]), res
-            ).reshape(i, n, res, res, 3)
+                refs.reshape(i * n, *refs.shape[2:]), resolution
+            ).reshape(i, n, resolution, resolution, 3)
 
             def one(args):
                 ref_i, rng_i = args
@@ -92,7 +102,7 @@ class ServingEngine:
 
         @functools.partial(jax.jit, static_argnames=("fused",))
         def _restore(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
-            images = _maybe_preprocess(images, images.shape[1])
+            images = _maybe_preprocess(images, resolution)
             # gather each sample's identity KV: [I,N,H,S,d] -> [B,N,H,S,d]
             ref_kv = [
                 (k[identity_ids], v[identity_ids]) for k, v in kv_cache
@@ -110,12 +120,11 @@ class ServingEngine:
 
         @jax.jit
         def _restore_cold(params, images, cond_images, rng):
-            images = _maybe_preprocess(images, images.shape[1])
+            images = _maybe_preprocess(images, resolution)
             b, n = cond_images.shape[:2]
-            res = cond_images.shape[3]
             cond_images = _maybe_preprocess(
-                cond_images.reshape(b * n, *cond_images.shape[2:]), res
-            ).reshape(b, n, res, res, 3)
+                cond_images.reshape(b * n, *cond_images.shape[2:]), resolution
+            ).reshape(b, n, resolution, resolution, 3)
             out = restore_forward(
                 params,
                 images,

@@ -260,6 +260,7 @@ def restore_forward(
     save_attn_probs: bool = False,
     use_fused_attention: bool = False,
     precomputed_ref_kv=None,
+    remat: bool = False,
 ) -> Dict[str, Any]:
     """Full restoration forward.
 
@@ -273,6 +274,10 @@ def restore_forward(
       timestep: fixed noise timestep (249 at inference); None samples
         uniformly from statics.noise_timesteps (training,
         pix2pix_turbo.py:306).
+      remat: jax.checkpoint each pipeline stage (VAE encode / KV capture /
+        UNet / VAE decode). Required for full-size training on one v5e chip:
+        the 512px VAE activation footprint otherwise OOMs the backward pass
+        (the reference trains on 80 GB A100s; v5e has 16 GB).
 
     Returns dict: output_image [B,H,W,3] in [-1,1]; output_image_conditions
     (when decode_conditions); attn_probs (when save_attn_probs); timestep.
@@ -281,16 +286,19 @@ def restore_forward(
     abar = sched.make_alphas_cumprod()
     sf = statics.vae_cfg.scaling_factor
     r_cond, r_lat, r_noise, r_t = jax.random.split(rng, 4)
+    ckpt = jax.checkpoint if remat else (lambda f: f)
 
     # 1. encode the degraded input with the trainable VAE
-    mean, logvar, skip_acts = vae_encode(
-        params["vae"],
-        image,
-        cfg=statics.vae_cfg,
-        lora_scaling=statics.vae_lora_scaling,
-        compute_dtype=statics.compute_dtype,
-        use_fused_attention=use_fused_attention,
-    )
+    @ckpt
+    def _encode(p, img):
+        return vae_encode(
+            p, img, cfg=statics.vae_cfg,
+            lora_scaling=statics.vae_lora_scaling,
+            compute_dtype=statics.compute_dtype,
+            use_fused_attention=use_fused_attention,
+        )
+
+    mean, logvar, skip_acts = _encode(params["vae"], image)
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
 
     # 2. shared-attention K/V from the reference images (or a warm identity
@@ -301,17 +309,19 @@ def restore_forward(
     elif cond_images is not None and statics.use_shared_attention:
         if valid_indices is None:
             valid_indices = jnp.full((b,), cond_images.shape[1], jnp.int32)
-        ref_kv, decoded_conds = get_conditioning_kv(
-            params,
-            cond_images,
-            valid_indices,
-            r_cond,
-            statics=statics,
-            alphas_cumprod=abar,
-            sample_posterior=sample_posterior,
-            decode_conditions=decode_conditions,
-            use_fused_attention=use_fused_attention,
-        )
+
+        @ckpt
+        def _capture(p, conds, valid, r):
+            return get_conditioning_kv(
+                p, conds, valid, r,
+                statics=statics,
+                alphas_cumprod=abar,
+                sample_posterior=sample_posterior,
+                decode_conditions=decode_conditions,
+                use_fused_attention=use_fused_attention,
+            )
+
+        ref_kv, decoded_conds = _capture(params, cond_images, valid_indices, r_cond)
 
     # 3. forward-diffuse the input latent
     if timestep is None:
@@ -330,33 +340,39 @@ def restore_forward(
         caption = face_embeds
     else:
         caption = jnp.tile(params["caption_enc"], (b, 1, 1))
-    eps, aux = unet_apply(
-        params["unet"],
-        zt,
-        tb,
-        caption,
-        cfg=statics.unet_cfg,
-        ref_kv=ref_kv,
-        use_adain=statics.use_adain,
-        train_input=statics.train_input,
-        save_attn_probs=save_attn_probs,
-        use_fused_attention=use_fused_attention,
-        use_faceid=use_faceid,
-        lora_scaling=statics.unet_lora_scaling,
-        compute_dtype=statics.compute_dtype,
-    )
+    @ckpt
+    def _unet(p, zt_, tb_, caption_, ref_kv_):
+        return unet_apply(
+            p, zt_, tb_, caption_,
+            cfg=statics.unet_cfg,
+            ref_kv=ref_kv_,
+            use_adain=statics.use_adain,
+            train_input=statics.train_input,
+            save_attn_probs=save_attn_probs,
+            use_fused_attention=use_fused_attention,
+            use_faceid=use_faceid,
+            lora_scaling=statics.unet_lora_scaling,
+            compute_dtype=statics.compute_dtype,
+        )
+
+    eps, aux = _unet(params["unet"], zt, tb, caption, ref_kv)
 
     # 5. x0 estimate and decode (with encoder skips when trained with them)
     x0 = sched.pred_original_sample(abar, eps, zt, tb)
-    out = vae_decode(
-        params["vae"],
-        x0 / sf,
-        cfg=statics.vae_cfg,
-        skip_acts=skip_acts if statics.use_shortcuts else None,
-        gamma=1.0,
-        lora_scaling=statics.vae_lora_scaling,
-        compute_dtype=statics.compute_dtype,
-        use_fused_attention=use_fused_attention,
+
+    @ckpt
+    def _decode(p, z_, skips_):
+        return vae_decode(
+            p, z_, cfg=statics.vae_cfg,
+            skip_acts=skips_,
+            gamma=1.0,
+            lora_scaling=statics.vae_lora_scaling,
+            compute_dtype=statics.compute_dtype,
+            use_fused_attention=use_fused_attention,
+        )
+
+    out = _decode(
+        params["vae"], x0 / sf, skip_acts if statics.use_shortcuts else None
     )
     result = {
         "output_image": jnp.clip(out, -1.0, 1.0),

@@ -365,8 +365,9 @@ def _shared(q, k_in, v_in, ref_k, ref_v, vs, vh, scale, include_input, block_q, 
 def _shared_fwd(q, k_in, v_in, ref_k, ref_v, vs, vh, scale, include_input, block_q, block_k, interpret):
     wide_k, wide_v = _widen(k_in, v_in, ref_k, ref_v, vs, vh, include_input)
     sq, d = q.shape[2], q.shape[3]
-    # block on the per-segment length so bk divides the widened KV too
-    bq, bk = _resolve_blocks(sq, ref_k.shape[3], d, None, None)
+    # block on the per-segment length so bk divides the widened KV too,
+    # honoring the caller's tuned sizes
+    bq, bk = _resolve_blocks(sq, ref_k.shape[3], d, block_q, block_k)
     o, lse = _flash_forward_lse(q, wide_k, wide_v, scale, bq, bk, interpret)
     return o, (q, k_in, v_in, ref_k, ref_v, vs, vh, o, lse)
 
@@ -376,7 +377,7 @@ def _shared_bwd(scale, include_input, block_q, block_k, interpret, res, do):
     b, n, h, s, d = ref_k.shape
     wide_k, wide_v = _widen(k_in, v_in, ref_k, ref_v, vs, vh, include_input)
     sq = q.shape[2]
-    bq, bk = _resolve_blocks(sq, s, d, None, None)
+    bq, bk = _resolve_blocks(sq, s, d, block_q, block_k)
     dq, dkw, dvw = _flash_backward(q, wide_k, wide_v, o, lse, do, scale, bq, bk, interpret)
 
     if include_input:

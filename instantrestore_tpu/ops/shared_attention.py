@@ -18,8 +18,11 @@ Two entry points:
                                         optional refs-only mode (train_input
                                         False) and per-reference V affine
 
-Inference-path only for now: no custom VJP (training uses the XLA attention,
-which must materialize probabilities anyway for the landmark-attention loss).
+Differentiation: ops/flash_vjp.py wraps both entry points in jax.custom_vjp
+(Pallas flash backward) — import from there when the call sits under
+jax.grad; this module's functions are the primal kernels. Layers that must
+materialize probabilities (landmark-attention loss, demo attention-mass
+stats) still use the XLA path in models/attention.py.
 Numerics: fp32 logits/softmax/accumulator; the P @ V matmul runs in the input
 dtype (bf16 on TPU) like the XLA path.
 """
@@ -36,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
+# bound-softmax kernels shift exponents so p <= 2^64 instead of p <= 1:
+# widens the bf16 flush-to-zero margin below the bound from 126 to 190 log2
+# units at zero cost (num and den scale by the same factor)
+BOUND_EXP_SHIFT = 64.0
 
 
 def _interpret_default() -> bool:
@@ -180,7 +187,10 @@ def _flash_bound_kernel(q_ref, k_ref, v_ref, kmax_ref, o_ref, acc, bound_scr, l_
         l_scr[:] = jnp.zeros_like(l_scr)
         qf = q_ref[0, 0].astype(jnp.float32)
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))
-        bound = qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+        bound = (
+            qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+            - BOUND_EXP_SHIFT
+        )
         bound_scr[:] = jnp.broadcast_to(bound, bound_scr.shape)
 
     q = q_ref[0, 0] * jnp.asarray(scale * LOG2E, q_ref.dtype)
@@ -428,14 +438,22 @@ def _shared_kvouter_bound_kernel(
 
         bound_i = scale * log2e * ||q_i|| * max_j ||k_j||   >=  max_j s2_ij
 
-    (Cauchy-Schwarz). p = exp2(s2 - bound) then satisfies p <= 1 and the
-    final o = num/den is invariant to the common 2^(m-bound) factor.
-    Numerics: bf16 carries fp32's 8-bit exponent, so even ~100 log2 units of
-    slack cannot underflow p to zero (min normal 2^-126); relative precision
-    stays the same 8-bit mantissa the online-max path already has once p is
-    cast to bf16 for the MXU. With d=64 activations the slack is ~10-20 log2
-    units in practice. max_j ||k_j|| arrives via ``kmax_ref`` (computed by
-    the wrapper over input + reference keys; AdaIN modulates V only)."""
+    (Cauchy-Schwarz). p = exp2(s2 - bound + 64) then satisfies p <= 2^64 and
+    the final o = num/den is invariant to the common 2^(m-bound+64) factor.
+    Numerics: bf16 carries fp32's 8-bit exponent, so p flushes to zero only
+    when an element sits more than 190 log2 units below the BOUND (126 bf16
+    exponent range + the free 64-unit shift; the shift cannot overflow — the
+    fp32 accumulator tops out around 2^(64+15+|v|exp) << 2^128). A whole row
+    NaNs only if the Cauchy-Schwarz slack itself exceeds 190 log2 units,
+    i.e. 0.18*||q||*max||k|| > 190 at d=64 — per-channel RMS beyond ~4,
+    far outside trained-checkpoint activations (~10-20 units of slack in
+    practice); elements within 190-slack of the true max are preserved, and
+    anything below that is negligible in the sum. Escape hatch for exotic
+    checkpoints: INSTANTRESTORE_ATTN_ALGO=kv_outer (online max). Relative
+    precision is the same 8-bit mantissa the online-max path already has
+    once p is cast to bf16 for the MXU. max_j ||k_j|| arrives via
+    ``kmax_ref`` (computed by the wrapper over input + reference keys; AdaIN
+    modulates V only)."""
     j = pl.program_id(2)
     nj = pl.num_programs(2)
     d = q_ref.shape[-1]
@@ -446,7 +464,10 @@ def _shared_kvouter_bound_kernel(
         acc[:] = jnp.zeros_like(acc)
         qf = q_ref[0, 0].astype(jnp.float32)
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True))  # [Sq, 1]
-        bound = qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+        bound = (
+            qn * jnp.asarray(scale * LOG2E, jnp.float32) * kmax_ref[0, 0, 0, 0]
+            - BOUND_EXP_SHIFT
+        )
         bound_scr[:] = jnp.broadcast_to(bound, bound_scr.shape)
 
     v_scale = aff_ref[0, 0, 0, 0, :]
@@ -822,7 +843,8 @@ def shared_flash_attention(
     block_q: int = 1024,
     block_k: int = 512,  # bk=1024 overflows the 16MB VMEM budget with the
                          # resident input+ref segments at the 64x64 layer
-    algo: Optional[str] = None,  # 'kv_outer' (default) | 'q_outer'
+    algo: Optional[str] = None,  # 'kv_outer_bound' (default) | 'kv_outer'
+                                 # | 'q_outer' | 'kv_outer_packed' (opt-in)
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused widened attention over [input | ref_1 | ... | ref_N] K/V.

@@ -302,6 +302,10 @@ class Coach:
         if fused is None:
             fused = jax.default_backend() == "tpu"
         self._fused_attention = fused
+        remat = cfg.compute.remat
+        if remat is None:
+            remat = jax.default_backend() == "tpu"
+        self._remat = remat
 
         def g_step(params, g_opt_state, disc_heads, batch, rng, landmark_layer=None):
             r_fwd, r_loss, r_cycle = jax.random.split(rng, 3)
@@ -334,6 +338,7 @@ class Coach:
                     statics=statics,
                     save_attn_probs=need_probs,
                     use_fused_attention=fused,
+                    remat=remat,
                 )
                 total, losses = compute_generator_loss(
                     out,

@@ -1,0 +1,118 @@
+"""Full-size training-step throughput on one TPU chip.
+
+Times the jitted generator step (restore forward + composite loss + AdamW on
+the LoRA/conv_in trainables) at the shipped model size — the reference's
+training config is batch 1 x4 grad-accum on A100s (train_base.yaml,
+coach.py:52-61); here we report steps/sec and faces/sec for a given batch.
+
+Loss configuration mirrors train_base.yaml's always-on terms (L2 + LPIPS);
+the attention-prob losses force the XLA attention path on the 9 shared
+layers and are exercised separately by the test suite. Fused Pallas
+attention (custom VJP) is ON — this is the measurement that motivated
+ops/flash_vjp.py.
+
+Usage: python scripts/train_bench.py [batch]    (default 2)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from instantrestore_tpu.configs.config import OptimConfig
+from instantrestore_tpu.models.lora import trainable_mask
+from instantrestore_tpu.models.restorer import RestorerStatics, init_restorer_params
+from instantrestore_tpu.training.losses.composite import compute_generator_loss
+from instantrestore_tpu.training.losses.lpips import init_lpips_params
+from instantrestore_tpu.training.optim import freeze_non_trainable, make_optimizer
+import optax
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    fused = os.environ.get("TRAIN_BENCH_FUSED", "1") == "1"
+    res = 512
+    n_refs = 4
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    statics = RestorerStatics(use_adain=True, train_input=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_restorer_params(
+            jax.random.PRNGKey(0), statics, lora_rank_unet=32, lora_rank_vae=32
+        )
+        lpips = init_lpips_params(jax.random.PRNGKey(1))
+    params = jax.device_put(params, jax.devices()[0])
+    lpips = jax.device_put(lpips, jax.devices()[0])
+
+    mask = {
+        "unet": trainable_mask(params["unet"], extra_trainable=("conv_in",)),
+        "unet_orig_conv_in": trainable_mask(params["unet_orig_conv_in"]),
+        "vae": trainable_mask(params["vae"]),
+    }
+    for k in params:
+        if k not in mask:
+            mask[k] = jax.tree_util.tree_map(lambda _: False, params[k])
+    ocfg = OptimConfig(lambda_l2=1.0, lambda_lpips=1.0)
+    opt = make_optimizer(ocfg, max_steps=1000, trainable_mask=mask)
+    opt_state = jax.jit(opt.init)(params)
+
+    from instantrestore_tpu.models.restorer import restore_forward
+
+    def g_step(params, opt_state, batch_d, rng):
+        def loss_fn(p):
+            p = freeze_non_trainable(p, mask)
+            out = restore_forward(
+                p, batch_d["image"], batch_d["conditioning_images"],
+                batch_d["valid_indices"], rng=rng, statics=statics,
+                use_fused_attention=fused,
+                remat=True,  # 512px backward OOMs 16 GB HBM without it
+            )
+            total, losses = compute_generator_loss(
+                out, batch_d, ocfg, rng=rng, lpips_params=lpips,
+                train_input=statics.train_input,
+            )
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    step = jax.jit(g_step, donate_argnums=(0, 1))
+
+    key = jax.random.PRNGKey(2)
+    batch_d = {
+        "image": jax.random.uniform(key, (batch, res, res, 3), jnp.float32, -1, 1),
+        "gt": jax.random.uniform(jax.random.fold_in(key, 1), (batch, res, res, 3), jnp.float32, -1, 1),
+        "conditioning_images": jax.random.uniform(
+            jax.random.fold_in(key, 2), (batch, n_refs, res, res, 3), jnp.float32, -1, 1
+        ),
+        "valid_indices": jnp.full((batch,), n_refs, jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    params, opt_state, total = step(params, opt_state, batch_d, jax.random.PRNGKey(10))
+    jax.block_until_ready(total)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s, loss {float(total):.4f}")
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, total = step(params, opt_state, batch_d, jax.random.PRNGKey(11 + i))
+    jax.block_until_ready(total)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        f"train step (batch {batch}, L2+LPIPS, fused={fused}): "
+        f"{dt*1e3:.1f} ms/step = {1/dt:.3f} steps/sec = {batch/dt:.2f} faces/sec"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,43 @@ def test_multistep_restore(setup):
         timesteps=(249,),
     )
     assert one["output_image"].shape == (1, 64, 64, 3)
+
+
+def test_remat_grad_parity(tiny_statics_and_params=None):
+    """remat=True must not change gradients (jax.checkpoint is semantically
+    transparent) — it only trades memory for recompute in backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from instantrestore_tpu.models.restorer import (
+        RestorerStatics, init_restorer_params, restore_forward,
+    )
+    from instantrestore_tpu.models.unet import UNetConfig
+    from instantrestore_tpu.models.vae import VAEConfig
+
+    statics = RestorerStatics(
+        unet_cfg=UNetConfig(sample_size=8, block_out_channels=(32, 64, 64, 64),
+                            attention_heads=(1, 2, 2, 2), cross_attention_dim=16,
+                            norm_num_groups=8),
+        vae_cfg=VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4),
+        use_adain=True, train_input=False, compute_dtype=jnp.float32,
+    )
+    params = init_restorer_params(jax.random.PRNGKey(0), statics,
+                                  lora_rank_unet=2, lora_rank_vae=2)
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(7), (1, 7, 16))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), minval=-1, maxval=1)
+    refs = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 64, 64, 3), minval=-1, maxval=1)
+
+    def loss(p, remat):
+        out = restore_forward(
+            p, img, refs, jnp.full((1,), 2, jnp.int32), rng=jax.random.PRNGKey(3),
+            statics=statics, timestep=249, sample_posterior=False, remat=remat,
+        )
+        return jnp.mean(out["output_image"] ** 2)
+
+    g0 = jax.jit(jax.grad(loss), static_argnums=1)(params, False)
+    g1 = jax.jit(jax.grad(loss), static_argnums=1)(params, True)
+    f0, _ = jax.tree_util.tree_flatten(g0)
+    f1, _ = jax.tree_util.tree_flatten(g1)
+    for a, b in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

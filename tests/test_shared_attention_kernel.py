@@ -136,3 +136,30 @@ def test_flash_bound_matches_xla(rng, d):
     out2 = flash_attention(q, k, v, scale=scale, block_q=32, block_k=32,
                            interpret=True, algo="online")
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=5e-5)
+
+
+def test_bound_kernels_large_activation_norms(rng):
+    """Cauchy-Schwarz slack grows with ||q||*||k||; the +64 exponent shift
+    (BOUND_EXP_SHIFT) keeps p representable far beyond realistic activation
+    scales. x3.5 inputs put the slack near ~140 log2 units at d=64 — beyond
+    the unshifted bf16 window (126), inside the shifted one (190)."""
+    b, h, s, d, n = 1, 2, 64, 64, 2
+    big = 3.5
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)) * big, jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)) * big, jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)) * big, jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+    wk, wv = widen_kv(k_in, v_in, rk, rv)
+    ref = _xla_attention(q, wk, wv, scale)
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=scale, include_input=True,
+        block_q=32, block_k=32, interpret=True, algo="kv_outer_bound",
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+    out2 = flash_attention(q[:, :, :, :], wk, wv, scale=scale,
+                           block_q=32, block_k=32, interpret=True, algo="bound")
+    assert np.isfinite(np.asarray(out2)).all()
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=5e-4)
