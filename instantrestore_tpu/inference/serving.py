@@ -57,7 +57,18 @@ class ServingEngine:
         timestep: int = 249,
         donate_cache: bool = False,
         resolution: Optional[int] = None,
+        int8_decoder: bool = False,
     ):
+        if int8_decoder:
+            # serving-only quantization; see models/vae.py::quantize_decoder_int8
+            from instantrestore_tpu.models.lora import merge_lora
+            from instantrestore_tpu.models.vae import quantize_decoder_int8
+
+            params = dict(params)
+            # int8 requires merged kernels; a serving_bundle already is
+            params["vae"] = quantize_decoder_int8(
+                merge_lora(params["vae"], statics.vae_lora_scaling)
+            )
         self.params = params
         self.statics = statics
         self.timestep = timestep

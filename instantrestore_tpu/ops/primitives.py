@@ -64,6 +64,26 @@ def conv2d(
     dtype = x.dtype
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(padding, padding), (padding, padding)]
+    if "kernel_int8" in p:
+        # opt-in int8 x int8 conv (quantize_conv_int8): dynamic per-tensor
+        # activation scale + static per-out-channel weight scale; hits the
+        # MXU's 2x int8 rate on v5e. NOT parity-exact — serving-only, off by
+        # default (breaks the <1e-2 reference-parity gate by design).
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+        x8 = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x8,
+            p["kernel_int8"],
+            window_strides=(stride, stride),
+            padding=pad,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        y = (y.astype(jnp.float32) * (a_scale * p["kernel_scale"])).astype(dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(dtype),
@@ -90,6 +110,20 @@ def conv2d(
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
+
+
+def quantize_conv_int8(p: dict) -> dict:
+    """Conv param dict -> int8 weight layout consumed by conv2d's int8
+    branch: symmetric per-out-channel weight quantization. LoRA must be
+    merged first (models/lora.py::merge_lora)."""
+    assert "lora_A" not in p, "merge LoRA before int8 quantization"
+    k = p["kernel"].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+    k8 = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    q = {kk: v for kk, v in p.items() if kk != "kernel"}
+    q["kernel_int8"] = k8
+    q["kernel_scale"] = scale
+    return q
 
 
 # ---------------------------------------------------------------------------

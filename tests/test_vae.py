@@ -93,3 +93,37 @@ def test_decode_with_skips_runs():
     out0 = vae_decode(params, mean, cfg=cfg, skip_acts=acts, gamma=0.0,
                       compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-2)
+
+
+def test_int8_decoder_quantization(rng):
+    """Opt-in int8 decoder: close-but-not-exact output, correct layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from instantrestore_tpu.models.vae import (
+        VAEConfig, init_vae_params, quantize_decoder_int8, vae_decode,
+    )
+    from instantrestore_tpu.ops.primitives import quantize_conv_int8
+
+    # single conv roundtrip: ~1% relative error budget
+    p = {"kernel": jnp.asarray(rng.normal(size=(3, 3, 8, 16)), jnp.float32),
+         "bias": jnp.zeros((16,), jnp.float32)}
+    q = quantize_conv_int8(p)
+    assert q["kernel_int8"].dtype == jnp.int8 and q["kernel_scale"].shape == (16,)
+    from instantrestore_tpu.ops.primitives import conv2d
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)), jnp.float32)
+    y_fp = conv2d(p, x)
+    y_q = conv2d(q, x)
+    rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.05, rel
+
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4)
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_decoder_int8(params)
+    z = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+    out_fp = vae_decode(params, z, cfg=cfg, compute_dtype=jnp.float32)
+    out_q = vae_decode(qparams, z, cfg=cfg, compute_dtype=jnp.float32)
+    assert out_q.shape == out_fp.shape
+    assert np.isfinite(np.asarray(out_q)).all()
+    d = float(jnp.abs(out_q - out_fp).max())
+    assert 0 < d < 0.5, d  # quantized differs, but not wildly
