@@ -32,10 +32,13 @@ from instantrestore_tpu.ops.image_ops import preprocess as preprocess_op
 
 def _maybe_preprocess(images: jnp.ndarray, resolution: int) -> jnp.ndarray:
     """uint8 [B, H, W, 3] -> preprocessed [-1,1] [B, res, res, 3] INSIDE the
-    compiled program (BASELINE "fused preprocessing + VAE + UNet"); float
-    inputs are assumed already normalized (backward-compatible path)."""
+    compiled program (BASELINE "fused preprocessing + VAE + UNet"). Float
+    inputs are assumed already normalized to [-1,1]; off-size floats are
+    resized/cropped through the same pipeline."""
     if images.dtype == jnp.uint8:
         return preprocess_op(images.astype(jnp.float32) / 255.0, resolution)
+    if images.shape[1] != resolution or images.shape[2] != resolution:
+        return preprocess_op(images * 0.5 + 0.5, resolution)
     return images
 
 
@@ -62,9 +65,15 @@ class ServingEngine:
         if int8_decoder:
             # serving-only quantization; see models/vae.py::quantize_decoder_int8
             from instantrestore_tpu.models.lora import merge_lora
+            from instantrestore_tpu.models.restorer import original_vae_view
             from instantrestore_tpu.models.vae import quantize_decoder_int8
 
             params = dict(params)
+            if "original_vae" not in params:
+                # materialize the frozen capture VAE from the still-unmerged
+                # tree FIRST — otherwise original_vae_view's strip-LoRA
+                # fallback would see LoRA-merged weights
+                params["original_vae"] = original_vae_view(params)
             # int8 requires merged kernels; a serving_bundle already is
             params["vae"] = quantize_decoder_int8(
                 merge_lora(params["vae"], statics.vae_lora_scaling)

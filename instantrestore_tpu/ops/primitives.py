@@ -70,7 +70,11 @@ def conv2d(
         # MXU's 2x int8 rate on v5e. NOT parity-exact — serving-only, off by
         # default (breaks the <1e-2 reference-parity gate by design).
         xf = x.astype(jnp.float32)
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+        # per-SAMPLE activation scale: co-batched images must not affect each
+        # other's quantization grid (reproducibility across batch makeup)
+        a_scale = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
+        )
         x8 = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x8,

@@ -199,7 +199,10 @@ def _flash_bound_kernel(q_ref, k_ref, v_ref, kmax_ref, o_ref, acc, bound_scr, l_
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp2((s - bound_scr[:, :1]).astype(v.dtype))
+    # exp2 in fp32, THEN cast: the shifted argument has magnitude ~shift
+    # where a bf16 cast costs ~0.25 log2 units of ULP (=+-17% on p);
+    # casting the RESULT keeps the full 2^-8 relative precision
+    p = jnp.exp2(s - bound_scr[:, :1]).astype(v.dtype)
     bk = v.shape[0]
     if mxu_sum:
         pad = acc.shape[-1] - d - 1
@@ -509,7 +512,8 @@ def _shared_kvouter_bound_kernel(
             s = jax.lax.dot_general(
                 q, k_seg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            p = jnp.exp2((s - bound_scr[pl.ds(qs, block_q), :1]).astype(v_seg.dtype))
+            # fp32 exp2 then cast — see _flash_bound_kernel precision note
+            p = jnp.exp2(s - bound_scr[pl.ds(qs, block_q), :1]).astype(v_seg.dtype)
             acc[pl.ds(qs, block_q), :] = acc[pl.ds(qs, block_q), :] + jax.lax.dot(
                 p, v_pad, preferred_element_type=jnp.float32
             )
@@ -856,9 +860,15 @@ def shared_flash_attention(
     b, h, sq, d = q.shape
     n = ref_k.shape[1]
     s = ref_k.shape[3]
+    import os
+
+    # block-size tuning knobs for on-chip experiments — applied BEFORE the
+    # divisibility check so a non-dividing override fails loudly
+    block_k = int(os.environ.get("INSTANTRESTORE_BLOCK_K", block_k))
+    block_q = int(os.environ.get("INSTANTRESTORE_BLOCK_Q", block_q))
     bq = min(block_q, sq)
     bk = min(block_k, s)
-    assert sq % bq == 0 and s % bk == 0
+    assert sq % bq == 0 and s % bk == 0, (sq, s, bq, bk)
 
     if v_affine is None:
         vs = jnp.ones((b, h, n, d), jnp.float32)
@@ -876,8 +886,6 @@ def shared_flash_attention(
 
     interpret = _interpret_default() if interpret is None else interpret
     if algo is None:
-        import os
-
         algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer_bound")
     if algo == "kv_outer_bound":
         return _shared_flash_attention_kvouter_bound(

@@ -145,7 +145,7 @@ def test_multistep_restore(setup):
     assert one["output_image"].shape == (1, 64, 64, 3)
 
 
-def test_remat_grad_parity(tiny_statics_and_params=None):
+def test_remat_grad_parity():
     """remat=True must not change gradients (jax.checkpoint is semantically
     transparent) — it only trades memory for recompute in backward."""
     import jax
