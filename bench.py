@@ -65,11 +65,13 @@ def main():
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     params = jax.device_put(params, jax.devices()[0])
 
-    # BENCH_INT8_DECODER=1: opt-in int8 decoder convs (2x MXU peak; not
-    # parity-exact, so never the default measurement)
+    # BENCH_INT8_DECODER/BENCH_INT8_UNET=1: opt-in int8 conv quantization
+    # (2x MXU peak; not parity-exact, so never the default measurement)
     int8_dec = os.environ.get("BENCH_INT8_DECODER", "0") == "1"
+    int8_unet = os.environ.get("BENCH_INT8_UNET", "0") == "1"
     eng = ServingEngine(
-        params, statics, use_fused_attention=True, int8_decoder=int8_dec
+        params, statics, use_fused_attention=True,
+        int8_decoder=int8_dec, int8_unet=int8_unet,
     )
 
     # uint8 in: preprocessing (resize/crop/normalize) runs INSIDE the compiled

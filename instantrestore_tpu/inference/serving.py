@@ -61,23 +61,37 @@ class ServingEngine:
         donate_cache: bool = False,
         resolution: Optional[int] = None,
         int8_decoder: bool = False,
+        int8_unet: bool = False,
     ):
-        if int8_decoder:
+        if int8_decoder or int8_unet:
             # serving-only quantization; see models/vae.py::quantize_decoder_int8
             from instantrestore_tpu.models.lora import merge_lora
-            from instantrestore_tpu.models.restorer import original_vae_view
-            from instantrestore_tpu.models.vae import quantize_decoder_int8
+            from instantrestore_tpu.models.restorer import (
+                original_unet_view,
+                original_vae_view,
+            )
 
             params = dict(params)
+            # materialize the frozen capture nets from the still-unmerged
+            # tree FIRST — otherwise the strip-LoRA view fallbacks would see
+            # LoRA-merged (or quantized) weights
             if "original_vae" not in params:
-                # materialize the frozen capture VAE from the still-unmerged
-                # tree FIRST — otherwise original_vae_view's strip-LoRA
-                # fallback would see LoRA-merged weights
                 params["original_vae"] = original_vae_view(params)
-            # int8 requires merged kernels; a serving_bundle already is
-            params["vae"] = quantize_decoder_int8(
-                merge_lora(params["vae"], statics.vae_lora_scaling)
-            )
+            if "original_unet" not in params:
+                params["original_unet"] = original_unet_view(params)
+            if int8_decoder:
+                from instantrestore_tpu.models.vae import quantize_decoder_int8
+
+                # int8 requires merged kernels; a serving_bundle already is
+                params["vae"] = quantize_decoder_int8(
+                    merge_lora(params["vae"], statics.vae_lora_scaling)
+                )
+            if int8_unet:
+                from instantrestore_tpu.models.unet import quantize_unet_int8
+
+                params["unet"] = quantize_unet_int8(
+                    merge_lora(params["unet"], statics.unet_lora_scaling)
+                )
         self.params = params
         self.statics = statics
         self.timestep = timestep

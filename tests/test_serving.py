@@ -138,3 +138,46 @@ def test_sharded_batch_restore():
     assert out.shape == (8, 64, 64, 3)
     # output inherits the data sharding
     assert "data" in str(out.sharding)
+
+
+def test_int8_unet_serving(rng):
+    """Opt-in int8 UNet + decoder: output finite, modestly divergent; frozen
+    capture nets preserved from the unmerged tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from instantrestore_tpu.inference.serving import ServingEngine
+    from instantrestore_tpu.models.restorer import (
+        RestorerStatics, init_restorer_params, original_unet_view,
+    )
+    from instantrestore_tpu.models.unet import UNetConfig
+    from instantrestore_tpu.models.vae import VAEConfig
+
+    statics = RestorerStatics(
+        unet_cfg=UNetConfig(sample_size=8, block_out_channels=(32, 64, 64, 64),
+                            attention_heads=(1, 2, 2, 2), cross_attention_dim=16,
+                            norm_num_groups=8),
+        vae_cfg=VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4),
+        use_adain=True, train_input=False, compute_dtype=jnp.float32,
+    )
+    params = init_restorer_params(jax.random.PRNGKey(0), statics,
+                                  lora_rank_unet=2, lora_rank_vae=2)
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(7), (1, 7, 16))
+    base_unet = original_unet_view(params)
+
+    eng = ServingEngine(params, statics, use_fused_attention=True,
+                        int8_decoder=True, int8_unet=True)
+    # frozen capture UNet untouched by merge+quantize
+    for a, b in zip(jax.tree_util.tree_leaves(eng.params["original_unet"]),
+                    jax.tree_util.tree_leaves(base_unet)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restore UNet carries int8 kernels
+    r0 = eng.params["unet"]["down_blocks"][0]["resnets"][0]
+    assert "kernel_int8" in r0["conv1"]
+
+    refs = jax.random.randint(jax.random.PRNGKey(1), (1, 4, 64, 64, 3), 0, 256, jnp.uint8)
+    imgs = jax.random.randint(jax.random.PRNGKey(2), (1, 64, 64, 3), 0, 256, jnp.uint8)
+    eng.onboard(refs)
+    out = eng.restore(imgs, jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(3))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
