@@ -39,16 +39,37 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def make_multislice_mesh(
+    n_slices: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Two-axis mesh ('dcn', 'data') for multi-slice training: the outer
+    axis spans slices (traffic rides DCN), the inner axis spans each slice's
+    chips (traffic rides ICI). Pure DP still shards the batch over BOTH axes
+    — gradients all-reduce hierarchically, ICI first then DCN, which XLA
+    derives from the mesh layout (SURVEY.md §2.6: 'DCN axis only if
+    multi-slice training is wanted'). Use
+    ``batch_sharding(mesh, ndim, axis=("dcn", "data"))`` /
+    ``shard_batch(mesh, batch, axis=("dcn", "data"))``."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) % n_slices == 0, (len(devices), n_slices)
+    per_slice = len(devices) // n_slices
+    # order devices slice-major when the runtime exposes slice indices
+    key = lambda d: (getattr(d, "slice_index", 0), d.id)
+    dev_array = np.asarray(sorted(devices, key=key)).reshape(n_slices, per_slice)
+    return Mesh(dev_array, ("dcn", DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = DATA_AXIS) -> NamedSharding:
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis=DATA_AXIS) -> NamedSharding:
     """Shard dim 0 on the data axis, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: str = DATA_AXIS) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, axis=DATA_AXIS) -> Any:
     """Device-put a pytree of host arrays with dim-0 sharded on ``axis``."""
 
     def put(x):
