@@ -58,7 +58,6 @@ class ServingEngine:
         *,
         use_fused_attention: bool = True,
         timestep: int = 249,
-        donate_cache: bool = False,
         resolution: Optional[int] = None,
         int8_decoder: bool = False,
         int8_unet: bool = False,

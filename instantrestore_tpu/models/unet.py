@@ -445,30 +445,10 @@ def quantize_unet_int8(unet_params: Dict[str, Any]) -> Dict[str, Any]:
     I/O), time-embedding and attention/transformer denses stay bf16. Apply
     to the RESTORE UNet only; the frozen capture UNet runs once per identity
     at onboarding and keeps full precision."""
-    from instantrestore_tpu.ops.primitives import quantize_conv_int8
-
-    def q_res(rp):
-        rp = dict(rp)
-        for name in ("conv1", "conv2", "conv_shortcut"):
-            if name in rp:
-                rp[name] = quantize_conv_int8(rp[name])
-        return rp
-
-    def q_block(bp):
-        nb = dict(bp)
-        nb["resnets"] = [q_res(r) for r in bp["resnets"]]
-        if "downsamplers" in bp:
-            nb["downsamplers"] = [
-                {"conv": quantize_conv_int8(d["conv"])} for d in bp["downsamplers"]
-            ]
-        if "upsamplers" in bp:
-            nb["upsamplers"] = [
-                {"conv": quantize_conv_int8(u["conv"])} for u in bp["upsamplers"]
-            ]
-        return nb
+    from instantrestore_tpu.ops.primitives import quantize_block_convs_int8
 
     out = dict(unet_params)
-    out["down_blocks"] = [q_block(b) for b in unet_params["down_blocks"]]
-    out["mid_block"] = q_block(unet_params["mid_block"])
-    out["up_blocks"] = [q_block(b) for b in unet_params["up_blocks"]]
+    out["down_blocks"] = [quantize_block_convs_int8(b) for b in unet_params["down_blocks"]]
+    out["mid_block"] = quantize_block_convs_int8(unet_params["mid_block"])
+    out["up_blocks"] = [quantize_block_convs_int8(b) for b in unet_params["up_blocks"]]
     return out

@@ -304,30 +304,11 @@ def quantize_decoder_int8(vae_params: Dict[str, Any]) -> Dict[str, Any]:
     mid-block attention stay bf16. NOT parity-exact with the reference —
     breaks the <1e-2 gate by design, so it is never applied by default
     (ServingEngine(int8_decoder=True) / BENCH_INT8_DECODER=1)."""
-    from instantrestore_tpu.ops.primitives import quantize_conv_int8
+    from instantrestore_tpu.ops.primitives import quantize_block_convs_int8
 
     out = dict(vae_params)
     dec = dict(out["decoder"])
-
-    def q_res(rp):
-        rp = dict(rp)
-        for name in ("conv1", "conv2", "conv_shortcut"):
-            if name in rp:
-                rp[name] = quantize_conv_int8(rp[name])
-        return rp
-
-    dec["mid_block"] = {
-        "resnets": [q_res(r) for r in dec["mid_block"]["resnets"]],
-        "attentions": dec["mid_block"]["attentions"],
-    }
-    ups = []
-    for block in dec["up_blocks"]:
-        nb = {"resnets": [q_res(r) for r in block["resnets"]]}
-        if "upsamplers" in block:
-            nb["upsamplers"] = [
-                {"conv": quantize_conv_int8(u["conv"])} for u in block["upsamplers"]
-            ]
-        ups.append(nb)
-    dec["up_blocks"] = ups
+    dec["mid_block"] = quantize_block_convs_int8(dec["mid_block"])
+    dec["up_blocks"] = [quantize_block_convs_int8(b) for b in dec["up_blocks"]]
     out["decoder"] = dec
     return out

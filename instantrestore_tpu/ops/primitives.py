@@ -130,6 +130,31 @@ def quantize_conv_int8(p: dict) -> dict:
     return q
 
 
+def quantize_block_convs_int8(bp: dict) -> dict:
+    """int8-quantize the conv mass of one resnet-style block dict: resnet
+    conv1/conv2/conv_shortcut plus down/upsampler convs; every other leaf
+    (norms, attentions, time_emb_proj, ...) is left untouched. Shared by
+    models/vae.py::quantize_decoder_int8 and models/unet.py::
+    quantize_unet_int8 so the quantization scheme stays in one place."""
+
+    def q_res(rp):
+        rp = dict(rp)
+        for name in ("conv1", "conv2", "conv_shortcut"):
+            if name in rp:
+                rp[name] = quantize_conv_int8(rp[name])
+        return rp
+
+    nb = dict(bp)
+    if "resnets" in nb:
+        nb["resnets"] = [q_res(r) for r in nb["resnets"]]
+    for samplers in ("downsamplers", "upsamplers"):
+        if samplers in nb:
+            nb[samplers] = [
+                {**s, "conv": quantize_conv_int8(s["conv"])} for s in nb[samplers]
+            ]
+    return nb
+
+
 # ---------------------------------------------------------------------------
 # normalization (always fp32 statistics)
 # ---------------------------------------------------------------------------

@@ -54,9 +54,21 @@ def make_multislice_mesh(
     devices = list(devices if devices is not None else jax.devices())
     assert len(devices) % n_slices == 0, (len(devices), n_slices)
     per_slice = len(devices) // n_slices
-    # order devices slice-major when the runtime exposes slice indices
-    key = lambda d: (getattr(d, "slice_index", 0), d.id)
-    dev_array = np.asarray(sorted(devices, key=key)).reshape(n_slices, per_slice)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) == n_slices and None not in slice_ids:
+        # real multi-slice hardware: let mesh_utils order by slice/process/
+        # ICI coordinates (and enforce equal slice sizes)
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1), devices=devices
+        ).reshape(n_slices, per_slice)
+    else:
+        # virtual/test meshes (host CPU devices carry no slice topology):
+        # even id-ordered split
+        dev_array = np.asarray(sorted(devices, key=lambda d: d.id)).reshape(
+            n_slices, per_slice
+        )
     return Mesh(dev_array, ("dcn", DATA_AXIS))
 
 

@@ -140,7 +140,7 @@ def test_sharded_batch_restore():
     assert "data" in str(out.sharding)
 
 
-def test_int8_unet_serving(rng):
+def test_int8_unet_serving():
     """Opt-in int8 UNet + decoder: output finite, modestly divergent; frozen
     capture nets preserved from the unmerged tree."""
     import jax
