@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -38,6 +39,11 @@ import optax
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     fused = os.environ.get("TRAIN_BENCH_FUSED", "1") == "1"
+    # TRAIN_BENCH_RECIPE=landmark: the flagship train_landmarkloss_adain term
+    # set (landmark-attention + pos/neg + entropy regs; probs for all 9
+    # shared layers are materialized by the XLA attention path). Measured to
+    # compile and train at 512px batch 1 on one 16 GB chip.
+    recipe = os.environ.get("TRAIN_BENCH_RECIPE", "base")
     res = 512
     n_refs = 4
     assert jax.default_backend() == "tpu", jax.default_backend()
@@ -59,7 +65,12 @@ def main():
     for k in params:
         if k not in mask:
             mask[k] = jax.tree_util.tree_map(lambda _: False, params[k])
-    ocfg = OptimConfig(lambda_l2=1.0, lambda_lpips=1.0)
+    if recipe == "landmark":
+        ocfg = OptimConfig(lambda_l2=1.0, lambda_landmark=1.0,
+                           lambda_pos_reg=0.1, lambda_neg_reg=0.1,
+                           lambda_attn_reg=0.01)
+    else:
+        ocfg = OptimConfig(lambda_l2=1.0, lambda_lpips=1.0)
     opt = make_optimizer(ocfg, max_steps=1000, trainable_mask=mask)
     opt_state = jax.jit(opt.init)(params)
 
@@ -72,11 +83,13 @@ def main():
                 p, batch_d["image"], batch_d["conditioning_images"],
                 batch_d["valid_indices"], rng=rng, statics=statics,
                 use_fused_attention=fused,
+                save_attn_probs=recipe == "landmark",
                 remat=True,  # 512px backward OOMs 16 GB HBM without it
             )
             total, losses = compute_generator_loss(
                 out, batch_d, ocfg, rng=rng, lpips_params=lpips,
                 train_input=statics.train_input,
+                landmark_layer=8 if recipe == "landmark" else None,
             )
             return total, losses
 
@@ -99,6 +112,18 @@ def main():
         ),
         "valid_indices": jnp.full((batch,), n_refs, jnp.int32),
     }
+    if recipe == "landmark":
+        # synthetic landmark targets for layer 8 (64^2, 5 heads)
+        q, heads = 4096, 5
+        gt = np.zeros((1, heads, q, q), np.float32)
+        gt[..., :64] = 1.0 / 64
+        batch_d.update({
+            "gt_attn_probs": jnp.asarray(gt),
+            "gt_attn_mask": jnp.ones((1, q), bool),
+            "gt_attn_cond": jnp.int32(0),
+            "pos_reg_idx": jnp.zeros((batch,), jnp.int32),
+            "neg_reg_idx": jnp.ones((batch,), jnp.int32),
+        })
 
     def run_n(params, opt_state, batch_d, rng, n):
         def body(carry, i):
