@@ -65,12 +65,25 @@ class Predictor:
         resolution: int = 512,
         deterministic: bool = False,
         face_embed_provider=None,
+        base_weights_dir: Optional[str] = None,
+        tokenizer_dir: Optional[str] = None,
+        prompt_ids=None,
     ):
         if params is None:
             if checkpoint_path is None:
                 raise ValueError("need checkpoint_path or params")
-            params, statics = load_predictor_params(checkpoint_path, statics)
+            params, statics = load_predictor_params(
+                checkpoint_path, statics,
+                base_weights_dir=base_weights_dir,
+                tokenizer_dir=tokenizer_dir,
+                prompt_ids=prompt_ids,
+            )
         self.statics = statics or RestorerStatics()
+        # caption_enc is precomputed at load; the frozen text tower never
+        # runs at inference (pix2pix_turbo.py:100-106), so keep its ~0.7 GB
+        # off HBM
+        if isinstance(params, dict) and "text_encoder" in params:
+            params = {k: v for k, v in params.items() if k != "text_encoder"}
         self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
         self.noise_timestep = noise_timestep
         self.resolution = resolution
@@ -231,19 +244,46 @@ def _try_insightface_provider():
     return provider
 
 
-def load_predictor_params(checkpoint_path: str, statics: Optional[RestorerStatics]):
-    """Reference .pt or native orbax checkpoint -> (params, statics)."""
+def load_predictor_params(
+    checkpoint_path: str,
+    statics: Optional[RestorerStatics],
+    *,
+    base_weights_dir: Optional[str] = None,
+    tokenizer_dir: Optional[str] = None,
+    prompt_ids=None,
+):
+    """Reference .pt or native orbax checkpoint -> (params, statics).
+
+    FULL .pt files decode model statics from the embedded pyrallis cfg
+    (inference/test.py:42-43 semantics); LoRA-only .pt files carry no cfg, so
+    defaults (or the caller's ``statics``) apply — but their LoRA scaling is
+    ALWAYS overridden with the checkpoint's rank under peft's load-time
+    alpha=8 quirk (pix2pix_turbo.py:116-121, torch_convert.py docstring),
+    because that is determined by the checkpoint, not the config.
+    """
     path = Path(checkpoint_path)
     if path.is_file() and path.suffix in (".pt", ".pth", ".ckpt", ".bin"):
         from instantrestore_tpu.training.checkpoints import import_reference_checkpoint
         from instantrestore_tpu.configs.config import ModelConfig, _decode_section
 
-        imported = import_reference_checkpoint(str(path))
+        imported = import_reference_checkpoint(
+            str(path),
+            base_weights_dir=base_weights_dir,
+            tokenizer_dir=tokenizer_dir,
+            prompt_ids=prompt_ids,
+        )
         bundle = imported["bundle"]
+        meta = imported["meta"]
         if statics is None:
-            cfg_dict = imported["meta"].get("cfg") or {}
+            cfg_dict = meta.get("cfg") or {}
             model_cfg = _decode_section(ModelConfig, cfg_dict.get("model", {}))
             statics = RestorerStatics.from_model_config(model_cfg)
+        if "unet_lora_scaling" in meta:  # lora_only import
+            statics = dataclasses.replace(
+                statics,
+                unet_lora_scaling=meta["unet_lora_scaling"],
+                vae_lora_scaling=meta["vae_lora_scaling"],
+            )
         return bundle, statics
     from instantrestore_tpu.training.checkpoints import load_checkpoint
 

@@ -73,6 +73,33 @@ def init_text_encoder_params(key, cfg: CLIPTextConfig = CLIPTextConfig()) -> Dic
     return params
 
 
+def infer_text_config(params: Dict[str, Any]) -> CLIPTextConfig:
+    """Derive a CLIPTextConfig from a converted parameter tree's shapes.
+
+    Everything except num_heads is read off the tree directly; heads follow
+    CLIP's fixed 64-d head convention (ViT-H text tower: 1024/16). Lets the
+    checkpoint importer run tiny test trees and the real sd-turbo encoder
+    through the same code path without plumbing an explicit config.
+    """
+    tm = params["text_model"]
+    emb = tm["embeddings"]
+    vocab_size, hidden = (
+        int(s) for s in jnp.shape(emb["token_embedding"]["embedding"])
+    )
+    max_pos = int(jnp.shape(emb["position_embedding"]["embedding"])[0])
+    layers = tm["encoder"]["layers"]
+    intermediate = int(jnp.shape(layers[0]["mlp"]["fc1"]["kernel"])[1])
+    return CLIPTextConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden,
+        num_layers=len(layers),
+        num_heads=max(1, hidden // 64),
+        intermediate_size=intermediate,
+        max_position_embeddings=max_pos,
+        eos_token_id=vocab_size - 1,
+    )
+
+
 def text_encoder_apply(
     params: Dict[str, Any],
     input_ids: jnp.ndarray,

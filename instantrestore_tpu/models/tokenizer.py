@@ -22,10 +22,12 @@ MODEL_MAX_LENGTH = 77
 
 # CLIP's pattern uses unicode \p{L}/\p{N} classes (regex module); stdlib `re`
 # equivalents via str.isalpha-compatible classes cover the latin prompts used
-# here. Word classes map: letters+, single digit, other-symbol runs.
+# here. Word classes map: letters+ ([^\W\d_]), single digit, symbol runs —
+# CLIP's symbol class [^\s\p{L}\p{N}]+ INCLUDES underscore, which stdlib \w
+# counts as a word char, hence the explicit |_ alternative.
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|[0-9]|[^\s\w]+",
+    r"|[^\W\d_]+|[0-9]|(?:[^\s\w]|_)+",
     re.IGNORECASE | re.UNICODE,
 )
 

@@ -122,10 +122,17 @@ def _insert(tree: Dict[str, Any], path: List[str], leaf_key: str, value: np.ndar
 
 
 def _listify(node):
-    """Convert {0: ..., 1: ...} int-keyed dicts (list containers) to lists."""
+    """Convert {0: ..., 1: ...} int-keyed dicts (list containers) to lists.
+
+    Only CONTIGUOUS 0..n-1 keys become a list; a sparse int-keyed dict (a
+    partial overlay touching e.g. only up_blocks.2) stays a dict so indices
+    survive — apply_lora_only_checkpoint's merge handles both shapes.
+    """
     if isinstance(node, dict):
         if node and all(isinstance(k, int) for k in node):
-            return [_listify(node[k]) for k in sorted(node)]
+            if set(node) == set(range(len(node))):
+                return [_listify(node[k]) for k in sorted(node)]
+            return {k: _listify(v) for k, v in node.items()}
         return {k: _listify(v) for k, v in node.items()}
     return node
 
@@ -187,15 +194,34 @@ def convert_full_checkpoint(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def apply_lora_only_checkpoint(
-    base_tree: Dict[str, Any], lora_sd: Mapping[str, Any]
+    base_tree: Dict[str, Any],
+    lora_sd: Optional[Mapping[str, Any]] = None,
+    *,
+    overlay: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Overlay a LoRA-only state dict (state_dict_unet/state_dict_vae entries,
     pix2pix_turbo.py:351-352: keys containing 'lora' or 'conv_in'/'skip') onto
-    a base param tree converted from sd-turbo / sd-vae weights."""
-    overlay = convert_state_dict(lora_sd)
+    a base param tree converted from sd-turbo / sd-vae weights. Accepts either
+    the raw torch dict (``lora_sd``) or an already-converted tree
+    (``overlay=``, as returned inside load_torch_checkpoint)."""
+    if overlay is None:
+        overlay = convert_state_dict(lora_sd or {})
 
     def merge(base, over):
+        if over is None:
+            return base
         if isinstance(over, dict):
+            if isinstance(base, list):
+                # sparse int-keyed overlay onto a list container
+                out = list(base)
+                for k, v in over.items():
+                    idx = int(k)
+                    if idx < len(out):
+                        out[idx] = merge(out[idx], v)
+                    else:
+                        out.extend([{}] * (idx + 1 - len(out)))
+                        out[idx] = merge({}, v)
+                return out
             out = dict(base) if isinstance(base, dict) else {}
             for k, v in over.items():
                 out[k] = merge(out.get(k), v)

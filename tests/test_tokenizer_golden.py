@@ -5,16 +5,13 @@ The real SD vocab is not bundled (zero egress); a synthetic vocab with full
 byte coverage + a handful of merges exercises the same code paths: regex
 split, byte-encoding, BPE merge order, SOT/EOT framing, EOT padding."""
 
-import json
-
 import pytest
 
 transformers = pytest.importorskip("transformers")
 
-from instantrestore_tpu.models.tokenizer import (
-    CLIPTokenizer as NativeTokenizer,
-    _bytes_to_unicode,
-)
+from instantrestore_tpu.models.tokenizer import CLIPTokenizer as NativeTokenizer
+
+from helpers import make_tokenizer_files
 
 PROMPT = "A high-quality photo of a person; professional, 8k"
 
@@ -22,28 +19,7 @@ PROMPT = "A high-quality photo of a person; professional, 8k"
 @pytest.fixture(scope="module")
 def tok_files(tmp_path_factory):
     d = tmp_path_factory.mktemp("tok")
-    b2u = _bytes_to_unicode()
-    symbols = [b2u[b] for b in range(256)]
-    vocab = {}
-    for s in symbols:
-        vocab[s] = len(vocab)
-    for s in symbols:
-        vocab[s + "</w>"] = len(vocab)
-    # a few merges over common prompt fragments (order = priority)
-    merges = [
-        ("h", "e</w>"), ("t", "he</w>"), ("o", "f</w>"), ("p", "h"),
-        ("ph", "o"), ("pho", "t"), ("phot", "o</w>"), ("a", "l</w>"),
-        ("o", "n</w>"), ("i", "t"), ("q", "u"), ("8", "k</w>"),
-    ]
-    for a, b in merges:
-        vocab[a + b] = len(vocab)
-    vocab["<|startoftext|>"] = len(vocab)
-    vocab["<|endoftext|>"] = len(vocab)
-
-    (d / "vocab.json").write_text(json.dumps(vocab))
-    (d / "merges.txt").write_text(
-        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"
-    )
+    make_tokenizer_files(d)
     return str(d / "vocab.json"), str(d / "merges.txt")
 
 
