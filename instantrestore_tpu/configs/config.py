@@ -43,6 +43,12 @@ class ComputeConfig:
     # jax.checkpoint each restore stage in the train step: required for
     # full-size (512px) training on a 16 GB chip. None = auto: on for TPU.
     remat: Optional[bool] = None
+    # run N G+D train steps inside ONE compiled program (lax.scan over
+    # host-prefetched stacked batches). Amortizes per-dispatch overhead —
+    # essential on runtimes where each call transfers the multi-GB train
+    # state (measured ~390 s/call on the tunneled axon runtime; see
+    # ROADMAP.md). 1 = classic step-per-dispatch loop.
+    steps_per_dispatch: int = 1
 
     def __post_init__(self):
         if self.test_batch_size is None:
@@ -83,6 +89,13 @@ class OptimConfig:
     lambda_neg_reg: float = 0.0
     lambda_facial_comp: float = 0.0
     compute_id_loss_between_identities: bool = False
+    # TPU-native extension: ALSO run the in-repo MTCNN cascade on predictions
+    # at validation cadence (host-side) and log the detector-aligned ID
+    # similarity next to the dataset-aligned one — quantifies the drift of
+    # the per-step fixed-landmark alignment shortcut vs the reference's
+    # per-step detection (criteria/utils.py:35-63; PARITY.md 'ID alignment').
+    # Requires mtcnn_params passed to the Coach.
+    id_detect_predictions: bool = False
     lr_warmup_steps: int = 100
     lr_num_cycles: int = 1
     lr_power: float = 1.0

@@ -66,6 +66,35 @@ def facial_comp_sizes(resolution: int):
     )
 
 
+def build_landmark_target(gt_lm, cond_lm, layer: int, resolution: int):
+    """Gaussian-splatted GT landmark-correspondence map at one shared layer
+    (restore_dataset.py:266-328): for each landmark visible at this layer's
+    resolution, splat a gaussian (sigma = size/32) at the conditioning image's
+    corresponding position into the query row of the input position.
+
+    Returns (attn [heads, q, q] float32, mask [q] bool). Module-level so the
+    collate (and the scan-dispatch Coach) can rebuild per-item maps at a
+    BATCH-shared layer — per-sample targets at batch>1, fixing the
+    reference's 'works for 1 batch' limitation (coach.py:633)."""
+    heads, size = SHARED_LAYER_STATS[layer]
+    factor = resolution // size
+    sigma = 0.03125 * size
+    xs = np.arange(size)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    attn = np.zeros((size * size, size * size), np.float32)
+    mask = np.zeros(size * size, bool)
+    for (x_up, y_up), (cx_up, cy_up) in zip(gt_lm, cond_lm):
+        x, y = int(x_up) // factor, int(y_up) // factor
+        cx, cy = int(cx_up) // factor, int(cy_up) // factor
+        if x >= size or y >= size or cx >= size or cy >= size:
+            continue
+        pos = y * size + x
+        g = np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2) / (2 * sigma ** 2))
+        attn[pos] += g.reshape(-1)
+        mask[pos] = True
+    return attn[None].repeat(heads, 0), mask
+
+
 class CoachDataset:
     """Base dataset (re-specified from the missing coach_dataset.py):
     ordered path list + shuffle + len."""
@@ -182,23 +211,8 @@ class RestoreDataset(CoachDataset):
             cond_lm = self._landmarks(identity_dir, cp)
             if cond_lm is None:
                 return None
-        heads, size = SHARED_LAYER_STATS[layer]
-        factor = self.resolution // size
-        sigma = 0.03125 * size
-        xs = np.arange(size)
-        gx, gy = np.meshgrid(xs, xs, indexing="ij")
-        attn = np.zeros((size * size, size * size), np.float32)
-        mask = np.zeros(size * size, bool)
-        for (x_up, y_up), (cx_up, cy_up) in zip(gt_lm, cond_lm):
-            x, y = int(x_up) // factor, int(y_up) // factor
-            cx, cy = int(cx_up) // factor, int(cy_up) // factor
-            if x >= size or y >= size or cx >= size or cy >= size:
-                continue
-            pos = y * size + x
-            g = np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2) / (2 * sigma ** 2))
-            attn[pos] += g.reshape(-1)
-            mask[pos] = True
-        return attn[None].repeat(heads, 0), mask, layer, cond
+        attn, mask = build_landmark_target(gt_lm, cond_lm, layer, self.resolution)
+        return attn, mask, layer, cond, gt_lm, cond_lm
 
     # -- facial component masks (restore_dataset.py:233-263) ----------------
 
@@ -383,18 +397,32 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
         batch["pos_reg_idx"] = np.asarray([it["pos_reg_idx"] for it in items], np.int32)
         batch["neg_reg_idx"] = np.asarray([it["neg_reg_idx"] for it in items], np.int32)
     if items[0].get("gt_attn_probs") is not None:
-        probs, masks, layers, conds = [], [], [], []
-        for it in items:
-            entry = it["gt_attn_probs"]
-            if entry is None:
-                continue
-            p, m, l, c = entry
-            probs.append(p)
-            masks.append(m)
-            layers.append(l)
-            conds.append(c)
-        if probs and len(probs) == len(items):
-            batch["gt_attn_probs"] = (probs, masks, layers, conds)
+        entries = [it.get("gt_attn_probs") for it in items]
+        if all(e is not None for e in entries):
+            # per-sample targets at ONE batch-shared layer (item 0's sampled
+            # layer keeps the reference's per-step layer randomness); items
+            # whose own sampled layer differs are re-splatted at the shared
+            # layer from their raw landmark coordinates. This fixes the
+            # reference's batch=1-only landmark loss (coach.py:633 TODO).
+            layer = int(entries[0][2])
+            resolution = items[0]["image"].shape[0]
+            probs, masks, conds, coords = [], [], [], []
+            for p, m, l, c, gt_lm, cond_lm in entries:
+                if int(l) != layer:
+                    p, m = build_landmark_target(gt_lm, cond_lm, layer, resolution)
+                probs.append(p)
+                masks.append(m)
+                conds.append(c)
+                coords.append((gt_lm, cond_lm))
+            batch["gt_attn_probs"] = (
+                np.stack(probs).astype(np.float32),  # [B, heads, q, q]
+                np.stack(masks),                     # [B, q]
+                layer,
+                np.asarray(conds, np.int32),         # [B]
+            )
+            # raw coordinates ride along host-side so a scan-dispatch loop
+            # can re-splat a whole group of batches at one layer
+            batch["landmark_coords"] = coords
     if items[0].get("facial_comps") is not None:
         comps = [it["facial_comps"] for it in items]
         if all(c is not None for c in comps):

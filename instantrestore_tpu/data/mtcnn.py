@@ -318,6 +318,21 @@ def detect_faces(
     return b4[keep], probs3[keep], points[keep]
 
 
+def landmark_detector(params: Dict[str, Any], **kwargs):
+    """uint8 image -> [5,2] landmarks of the highest-scoring face, or None —
+    the detect_fn shape losses/id_loss.py::detector_alignment_mats consumes
+    (the reference's extract_faces_and_landmarks picks the largest box,
+    criteria/utils.py:43-49; highest score is our equivalent)."""
+
+    def detect(image: np.ndarray):
+        boxes, scores, points = detect_faces(params, image, **kwargs)
+        if len(boxes) == 0:
+            return None
+        return points[int(np.argmax(scores))]
+
+    return detect
+
+
 def default_detector(params: Dict[str, Any], **kwargs):
     """Adapt the cascade to data/canonical_face.py's Detector protocol:
     returns the highest-scoring face or None."""

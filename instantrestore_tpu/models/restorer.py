@@ -261,8 +261,15 @@ def restore_forward(
     use_fused_attention: bool = False,
     precomputed_ref_kv=None,
     remat: bool = False,
+    debug_taps: bool = False,
 ) -> Dict[str, Any]:
     """Full restoration forward.
+
+    ``debug_taps=True`` additionally returns per-stage activations under
+    result['taps'] (VAE-enc moments, latents pre/post noise, each UNet
+    down/mid/up block, each of the 9 shared attentions, eps, x0, decode) for
+    block-by-block golden diffing against a torch reference run
+    (scripts/parity.py dump-activations; SURVEY §7 / BASELINE <1e-2 gate).
 
     Args:
       image: degraded input [B, H, W, 3] in [-1, 1].
@@ -351,6 +358,7 @@ def restore_forward(
             save_attn_probs=save_attn_probs,
             use_fused_attention=use_fused_attention,
             use_faceid=use_faceid,
+            capture_taps=debug_taps,
             lora_scaling=statics.unet_lora_scaling,
             compute_dtype=statics.compute_dtype,
         )
@@ -383,6 +391,23 @@ def restore_forward(
         result["output_image_conditions"] = decoded_conds
     if save_attn_probs:
         result["attn_probs"] = aux.get("attn_probs")
+    if debug_taps:
+        taps = {
+            "vae_enc_mean": mean,
+            "vae_enc_logvar": logvar,
+            "latent": z,
+            "latent_noised": zt,
+            "unet_eps": eps,
+            "x0": x0,
+            "decoded": out,
+        }
+        for k, v in aux.get("taps", {}).items():
+            taps[f"unet.{k}"] = v
+        if ref_kv is not None:
+            for i, (k_arr, v_arr) in enumerate(ref_kv):
+                taps[f"ref_kv.{i}.k"] = k_arr
+                taps[f"ref_kv.{i}.v"] = v_arr
+        result["taps"] = taps
     return result
 
 

@@ -333,6 +333,7 @@ def unet_apply(
     lora_scaling: float = 1.0,
     use_fused_attention: bool = False,
     use_faceid: bool = False,
+    capture_taps: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Run the UNet. ``sample``: [B, H, W, 4] NHWC latents; ``timesteps``:
@@ -340,10 +341,14 @@ def unet_apply(
 
     Returns (epsilon prediction [B, H, W, 4],
              aux = {'kv': [(k, v) x 9]        when capture_kv,
-                    'attn_probs': [p x 9]     when save_attn_probs}).
+                    'attn_probs': [p x 9]     when save_attn_probs,
+                    'taps': {stage: act}      when capture_taps}).
 
     The 9-entry lists are ordered by traversal of up-block self-attentions,
     matching the reference's self_attn_idx 0..8 (attn_processors.py:304-311).
+    ``taps`` carries per-stage activations (conv_in, each down/mid/up block,
+    each shared attention output) for golden-activation diffing against a
+    torch-side run (SURVEY §7; BASELINE <1e-2 gate localization).
     """
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -361,6 +366,9 @@ def unet_apply(
     temb = dense(params["time_embedding"]["linear_2"], silu(temb))
 
     x = conv2d(params["conv_in"], x, lora_scaling=lora_scaling)
+    taps: Dict[str, jnp.ndarray] = {}
+    if capture_taps:
+        taps["conv_in"] = x
 
     # plain (non-shared) self-attentions still want the fused kernel — the
     # 64x64 down-block attention would otherwise materialize [B,5,4096,4096]
@@ -382,6 +390,8 @@ def unet_apply(
         if "downsamplers" in bp:
             x = conv2d(bp["downsamplers"][0]["conv"], x, stride=2, lora_scaling=lora_scaling)
             skips.append(x)
+        if capture_taps:
+            taps[f"down_block_{i}"] = x
 
     # ---- mid ----
     mp = params["mid_block"]
@@ -391,6 +401,8 @@ def unet_apply(
         lora_scaling=lora_scaling, shared=plain,
     )
     x = _resnet(mp["resnets"][1], x, temb, cfg=cfg, lora_scaling=lora_scaling)
+    if capture_taps:
+        taps["mid_block"] = x
 
     # ---- up path ----
     kv_list: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
@@ -421,10 +433,14 @@ def unet_apply(
                     kv_list.append(aux["kv"])
                 if save_attn_probs and "probs" in aux:
                     probs_list.append(aux["probs"])
+                if capture_taps:
+                    taps[f"shared_attn_{shared_idx}"] = x
                 shared_idx += 1
         if "upsamplers" in bp:
             x = nearest_upsample_2x(x)
             x = conv2d(bp["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling)
+        if capture_taps:
+            taps[f"up_block_{i}"] = x
 
     x = group_norm(params["conv_norm_out"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
     x = silu(x)
@@ -435,6 +451,8 @@ def unet_apply(
         aux_out["kv"] = kv_list
     if save_attn_probs:
         aux_out["attn_probs"] = probs_list
+    if capture_taps:
+        aux_out["taps"] = taps
     return x.astype(sample.dtype), aux_out
 
 

@@ -90,5 +90,19 @@ def shard_batch(mesh: Mesh, batch: Any, axis=DATA_AXIS) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any, axis=DATA_AXIS) -> Any:
+    """Device-put a pytree of [N_steps, B, ...] host arrays: dim 0 (the scan
+    step axis) replicated, dim 1 (the batch) sharded on ``axis``. Used by the
+    Coach's scan-dispatch loop (N train steps per compiled program)."""
+
+    def put(x):
+        spec = (
+            P(None, axis, *([None] * (x.ndim - 2))) if x.ndim >= 2 else P()
+        )
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate_params(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), params)

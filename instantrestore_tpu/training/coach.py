@@ -47,6 +47,20 @@ from instantrestore_tpu.training.losses.lpips import init_lpips_params
 from instantrestore_tpu.training.optim import freeze_non_trainable, make_optimizer
 
 
+def _dealias(tree):
+    """Copy leaves that appear more than once (by identity) in the pytree so
+    every buffer is unique — required for ``donate_argnums`` on the params."""
+    seen = set()
+
+    def f(x):
+        if id(x) in seen:
+            return jnp.array(np.asarray(x)) if not isinstance(x, jnp.ndarray) else x.copy()
+        seen.add(id(x))
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
+
+
 class Coach:
     def __init__(
         self,
@@ -59,6 +73,7 @@ class Coach:
         disc_backbone=None,
         vit_cfg=DINOV2_VITL14,
         datasets=None,
+        mtcnn_params=None,
     ):
         self.cfg = cfg
         self.statics = statics or RestorerStatics.from_model_config(cfg.model)
@@ -89,6 +104,13 @@ class Coach:
                     lora_rank_vae=cfg.model.lora_rank_vae,
                     train_vae=cfg.model.train_vae,
                 )
+        # break buffer aliasing before donation: the random-init bundle shares
+        # arrays between unet.conv_in and unet_orig_conv_in (and, with
+        # train_reference_networks, between the base kernels of unet and
+        # original_unet) — donating an aliased pytree is an XLA error
+        # ("donate the same buffer twice"), and the copies must diverge under
+        # training anyway.
+        params = _dealias(params)
         self.params = replicate_params(self.mesh, params)
 
         # frozen aux nets (random-init when pretrained files are absent;
@@ -97,6 +119,14 @@ class Coach:
         if self.lpips_params is None and cfg.optim.lambda_lpips > 0:
             self.lpips_params = init_lpips_params(jax.random.fold_in(key, 1))
         self.arcface_params = arcface_params
+        # detector-based ID alignment at validation cadence (optional,
+        # cfg.optim.id_detect_predictions): host-side MTCNN on predictions,
+        # reference criteria/utils.py:35-63 semantics
+        self._id_detect_fn = None
+        if cfg.optim.id_detect_predictions and mtcnn_params is not None:
+            from instantrestore_tpu.data.mtcnn import landmark_detector
+
+            self._id_detect_fn = landmark_detector(mtcnn_params)
         self.disc_backbone = disc_backbone
         self.disc_heads = None
         # backbone selector (cv_discriminator.py:94-195 cv_type dispatch);
@@ -411,8 +441,55 @@ class Coach:
             disc_heads = optax.apply_updates(new_heads, updates)
             return disc_heads, d_opt_state, loss
 
-        self._g_step = jax.jit(g_step, static_argnames=("landmark_layer",))
-        self._d_step = jax.jit(d_step) if self.disc_heads is not None else None
+        # donate params/optimizer state: the returned trees reuse the input
+        # buffers instead of double-buffering the multi-GB train state
+        # (required headroom for full-size batch>=2 on a 16 GB chip)
+        self._g_step = jax.jit(
+            g_step, static_argnames=("landmark_layer",), donate_argnums=(0, 1)
+        )
+        self._d_step = (
+            jax.jit(d_step, donate_argnums=(0, 1))
+            if self.disc_heads is not None
+            else None
+        )
+
+        def train_dispatch(
+            params, g_opt_state, disc_heads, d_opt_state, batches, rngs,
+            landmark_layer=None,
+        ):
+            """N G+D steps inside one program (lax.scan over stacked batches).
+
+            Amortizes per-dispatch runtime overhead: each host->device call
+            would otherwise round-trip the full train state (measured ~390 s
+            per call on the tunneled axon runtime, ROADMAP.md). Only the LAST
+            step's prediction is returned; per-step loss scalars all are.
+            """
+            has_d = self.disc_heads is not None
+
+            def body(carry, inp):
+                p, gs, heads, ds = carry
+                batch, r = inp
+                r_g, r_d = jax.random.split(r)
+                p, gs, losses, pred = g_step(p, gs, heads, batch, r_g, landmark_layer)
+                if has_d:
+                    heads, ds, d_loss = d_step(
+                        heads, ds, pred, batch["gt"],
+                        batch.get("facial_comp_boxes"), r_d,
+                    )
+                    losses["loss_d"] = d_loss
+                return (p, gs, heads, ds), (losses, pred)
+
+            carry, (losses, preds) = jax.lax.scan(
+                body, (params, g_opt_state, disc_heads, d_opt_state), (batches, rngs)
+            )
+            params, g_opt_state, disc_heads, d_opt_state = carry
+            return params, g_opt_state, disc_heads, d_opt_state, losses, preds[-1]
+
+        self._train_dispatch = jax.jit(
+            train_dispatch,
+            static_argnames=("landmark_layer",),
+            donate_argnums=(0, 1, 2, 3),
+        )
 
         def eval_step(params, batch, rng, save_attn=False):
             out = restore_forward(
@@ -440,9 +517,10 @@ class Coach:
 
     def _device_batch(self, batch):
         """Host batch -> device batch. Returns (dev_batch, landmark_layer):
-        batch-dim-0 keys shard on the data axis; the landmark-attention
-        target (item 0's map, reference batch=1 semantics coach.py:631-640)
-        is replicated, and its layer index is returned as a host int — the
+        batch-dim-0 keys shard on the data axis. Landmark-attention targets
+        are PER-SAMPLE maps at one batch-shared layer (built by collate —
+        correct batch>1 semantics, beyond the reference's batch=1-only
+        coach.py:631-640); the layer index is returned as a host int — the
         jitted g_step specializes on it (shapes differ per layer)."""
         keep = {
             k: v
@@ -455,67 +533,175 @@ class Coach:
         dev = shard_batch(self.mesh, keep)
         landmark_layer = None
         if batch.get("gt_attn_probs") is not None:
-            probs, masks, layers, conds = batch["gt_attn_probs"]
-            landmark_layer = int(layers[0])
-            rep = replicate_params(
-                self.mesh,
-                {
-                    "gt_attn_probs": np.asarray(probs[0], np.float32)[None],
-                    "gt_attn_mask": np.asarray(masks[0], bool)[None],
-                    "gt_attn_cond": np.int32(conds[0]),
-                },
+            probs, masks, layer, conds = batch["gt_attn_probs"]
+            landmark_layer = int(layer)
+            dev.update(
+                shard_batch(
+                    self.mesh,
+                    {
+                        "gt_attn_probs": np.asarray(probs, np.float32),
+                        "gt_attn_mask": np.asarray(masks, bool),
+                        "gt_attn_cond": np.asarray(conds, np.int32),
+                    },
+                )
             )
-            dev.update(rep)
         return dev, landmark_layer
 
     def train(self):
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.compute.seed)
-        t0 = time.time()
+        spd = max(1, cfg.compute.steps_per_dispatch)
+        self._t0 = time.time()
+        self._steps_since_metric = 0
+        pending = []
         while self.train_step_num < cfg.steps.max_steps:
             for batch in self.train_loader:
                 if self.train_step_num >= cfg.steps.max_steps:
                     break
-                rng, r_g, r_d = jax.random.split(rng, 3)
-                dev_batch, landmark_layer = self._device_batch(batch)
-                self.params, self.g_opt_state, losses, pred = self._g_step(
-                    self.params, self.g_opt_state, self.disc_heads, dev_batch, r_g,
-                    landmark_layer=landmark_layer,
-                )
-                if self._d_step is not None:
-                    self.disc_heads, self.d_opt_state, d_loss = self._d_step(
-                        self.disc_heads, self.d_opt_state, pred, dev_batch["gt"],
-                        dev_batch.get("facial_comp_boxes"), r_d,
-                    )
-                    losses["loss_d"] = d_loss
-
-                self.train_step_num += 1
-                self.logger.update_step(self.train_step_num)
-                if self.train_step_num % cfg.steps.metric_interval == 0:
-                    losses = jax.device_get(losses)
-                    losses["steps_per_sec"] = cfg.steps.metric_interval / max(
-                        time.time() - t0, 1e-9
-                    )
-                    t0 = time.time()
-                    self.logger.log_metrics(losses, "train")
-                if self.train_step_num % cfg.steps.image_interval == 0:
-                    self.logger.vis_batch(
-                        "train_images",
-                        {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
-                    )
-                if self.train_step_num % cfg.steps.val_interval == 0:
-                    self.validate()
-                if self.train_step_num % cfg.steps.save_interval == 0:
-                    self.save(tag=f"step_{self.train_step_num}")
+                if spd == 1:
+                    rng, r = jax.random.split(rng)
+                    self._run_single_step(batch, r)
+                    continue
+                pending.append(batch)
+                n_want = min(spd, cfg.steps.max_steps - self.train_step_num)
+                if len(pending) < n_want:
+                    continue
+                rng, r = jax.random.split(rng)
+                self._run_dispatch(pending, r)
+                pending = []
         self.validate()
         self.save(tag="final")
 
+    def _run_single_step(self, batch, rng):
+        r_g, r_d = jax.random.split(rng)
+        dev_batch, landmark_layer = self._device_batch(batch)
+        self.params, self.g_opt_state, losses, pred = self._g_step(
+            self.params, self.g_opt_state, self.disc_heads, dev_batch, r_g,
+            landmark_layer=landmark_layer,
+        )
+        if self._d_step is not None:
+            self.disc_heads, self.d_opt_state, d_loss = self._d_step(
+                self.disc_heads, self.d_opt_state, pred, dev_batch["gt"],
+                dev_batch.get("facial_comp_boxes"), r_d,
+            )
+            losses["loss_d"] = d_loss
+        self._after_steps(1, losses, pred, batch)
+
+    def _run_dispatch(self, batches, rng):
+        """Scan mode: N batches -> ONE compiled N-step program."""
+        n = len(batches)
+        stacked, landmark_layer = self._stack_batches(batches)
+        rngs = jax.random.split(rng, n)
+        (
+            self.params, self.g_opt_state, self.disc_heads, self.d_opt_state,
+            losses, pred,
+        ) = self._train_dispatch(
+            self.params, self.g_opt_state, self.disc_heads,
+            getattr(self, "d_opt_state", None), stacked, rngs,
+            landmark_layer=landmark_layer,
+        )
+        # report the dispatch's last-step loss scalars
+        last = jax.tree_util.tree_map(lambda x: x[-1], losses)
+        self._after_steps(n, last, pred, batches[-1])
+
+    def _stack_batches(self, batches):
+        """Host-stack N collated batches to [N, B, ...] trees on the mesh.
+
+        Landmark targets must share ONE layer across the scanned steps (the
+        jitted program specializes on it): batches whose collate-sampled
+        layer differs from the first batch's are re-splatted at that layer
+        from their raw landmark coordinates."""
+        from instantrestore_tpu.data.datasets import build_landmark_target
+        from instantrestore_tpu.parallel.mesh import shard_stacked_batch
+
+        landmark_layer = None
+        all_lm = all(b.get("gt_attn_probs") is not None for b in batches)
+        if batches[0].get("gt_attn_probs") is not None and not all_lm:
+            self.logger.log_message(
+                "dispatch: dropping landmark targets (present in only some "
+                "of the stacked batches)"
+            )
+        if all_lm and not all(b.get("landmark_coords") for b in batches):
+            # cannot re-splat at a shared layer without the raw coordinates
+            self.logger.log_message(
+                "dispatch: dropping landmark targets (no landmark_coords to "
+                "rebuild a shared layer)"
+            )
+            all_lm = False
+        host = []
+        for b in batches:
+            # keep pytree structure (facial_comps is a tuple of arrays,
+            # degradation_params a dict) — tree_map stacks leaf-wise below
+            keep = {
+                k: v
+                for k, v in b.items()
+                if k in ("image", "gt", "conditioning_images", "valid_indices",
+                         "pos_reg_idx", "neg_reg_idx", "facial_comps",
+                         "facial_comp_boxes", "degradation_params",
+                         "id_mats_pred", "id_mats_target", "id_valid")
+            }
+            if all_lm:
+                probs, masks, layer, conds = b["gt_attn_probs"]
+                if landmark_layer is None:
+                    landmark_layer = int(layer)
+                elif int(layer) != landmark_layer:
+                    rebuilt = [
+                        build_landmark_target(
+                            g, c, landmark_layer, b["image"].shape[1]
+                        )
+                        for g, c in b["landmark_coords"]
+                    ]
+                    probs = np.stack([r[0] for r in rebuilt])
+                    masks = np.stack([r[1] for r in rebuilt])
+                keep["gt_attn_probs"] = np.asarray(probs, np.float32)
+                keep["gt_attn_mask"] = np.asarray(masks, bool)
+                keep["gt_attn_cond"] = np.asarray(conds, np.int32)
+            host.append(keep)
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host)
+        return shard_stacked_batch(self.mesh, stacked), landmark_layer
+
+    def _after_steps(self, n, losses, pred, last_batch):
+        cfg = self.cfg
+        prev = self.train_step_num
+        self.train_step_num += n
+        self.logger.update_step(self.train_step_num)
+
+        def crossed(interval):
+            return self.train_step_num // interval > prev // interval
+
+        self._steps_since_metric += n
+        if crossed(cfg.steps.metric_interval):
+            losses = jax.device_get(losses)
+            losses["steps_per_sec"] = self._steps_since_metric / max(
+                time.time() - self._t0, 1e-9
+            )
+            self._t0 = time.time()
+            self._steps_since_metric = 0
+            self.logger.log_metrics(losses, "train")
+        if crossed(cfg.steps.image_interval):
+            self.logger.vis_batch(
+                "train_images",
+                {
+                    "input": last_batch["image"],
+                    "pred": np.asarray(pred),
+                    "gt": last_batch["gt"],
+                },
+            )
+        if crossed(cfg.steps.val_interval):
+            self.validate()
+        if crossed(cfg.steps.save_interval):
+            self.save(tag=f"step_{self.train_step_num}")
+
     def validate(self):
+        """Full-val-set evaluation (reference coach.py:343-392): losses are
+        aggregated over the ENTIRE test loader; ``val_vis_count`` caps only
+        the number of visualized image batches (:361), and attention overlays
+        are logged for at most 5 batches (:367-368)."""
         rng = jax.random.PRNGKey(0)
         agg: Dict[str, list] = {}
-        vis_done = False
-        count = 0
+        batch_idx = -1
         for batch in self.test_loader:
+            batch_idx += 1
             rem = batch["image"].shape[0] % self.device_count
             if rem != 0 and self.device_count > 1:
                 # pad the remainder batch to the mesh by repeating the last
@@ -535,7 +721,7 @@ class Coach:
                 }
             dev_batch, _ = self._device_batch(batch)
             save_attn = (
-                not vis_done
+                batch_idx <= 5
                 and self.cfg.log.vis_attention
                 and self.statics.use_shared_attention
                 and "conditioning_images" in dev_batch
@@ -546,9 +732,13 @@ class Coach:
             losses = jax.device_get(losses)
             for k, v in losses.items():
                 agg.setdefault(k, []).append(float(v))
-            if not vis_done:
+            if batch_idx == 0 and self._id_detect_fn is not None and (
+                self.arcface_params is not None
+            ):
+                self._log_detected_id_sim(agg, np.asarray(pred), batch)
+            if batch_idx <= self.cfg.log.val_vis_count:
                 self.logger.vis_batch(
-                    "val_images",
+                    f"val_images/{batch_idx:04d}",
                     {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
                 )
                 if save_attn and attn_probs:
@@ -557,19 +747,15 @@ class Coach:
                     from instantrestore_tpu.utils.vis import vis_attn_probs
 
                     self.logger.save_image(
-                        "val_attention",
+                        f"val_attention/{batch_idx:04d}",
                         vis_attn_probs(
                             [np.asarray(p, np.float32) for p in attn_probs],
                             np.asarray(batch["conditioning_images"]),
                             train_input=self.statics.train_input,
                         ),
                     )
-                vis_done = True
-            count += 1
-            if count >= self.cfg.log.val_vis_count:
-                break
         if not agg:
-            return
+            return None
         mean_losses = {k: float(np.mean(v)) for k, v in agg.items()}
         self.logger.log_metrics(mean_losses, "val")
         if mean_losses.get("loss", float("inf")) < self.best_val_loss:
@@ -577,6 +763,37 @@ class Coach:
             self.save(tag="best_model")
             (self.cfg.log.exp_dir / "checkpoints" / "timestep.txt").write_text(
                 f"best val loss {self.best_val_loss:.5f} at step {self.train_step_num}\n"
+            )
+        return mean_losses.get("loss")
+
+    def _log_detected_id_sim(self, agg, pred, batch):
+        """Detector-aligned ID similarity on the first val batch (host-side
+        MTCNN on predictions + targets — the reference's per-step path,
+        criteria/utils.py:35-63) alongside the dataset-aligned shortcut, so
+        the alignment drift is a logged metric rather than an assumption."""
+        from instantrestore_tpu.training.losses import id_loss as id_mod
+
+        mats_p, valid_p = id_mod.detector_alignment_mats(self._id_detect_fn, pred)
+        gt = np.asarray(batch["gt"], np.float32)
+        mats_g, valid_g = id_mod.detector_alignment_mats(self._id_detect_fn, gt)
+        valid = valid_p & valid_g
+        _, sim_det = id_mod.id_loss(
+            self.arcface_params, jnp.asarray(pred), jnp.asarray(gt),
+            jnp.asarray(mats_p), jnp.asarray(mats_g), jnp.asarray(valid),
+        )
+        agg.setdefault("id_sim_detected", []).append(float(jax.device_get(sim_det)))
+        agg.setdefault("id_detect_rate", []).append(float(valid.mean()))
+        if "id_mats_pred" in batch:
+            _, sim_ds = id_mod.id_loss(
+                self.arcface_params, jnp.asarray(pred), jnp.asarray(gt),
+                jnp.asarray(batch["id_mats_pred"], np.float32),
+                jnp.asarray(batch["id_mats_target"], np.float32),
+                jnp.asarray(batch["id_valid"]),
+            )
+            sim_ds = float(jax.device_get(sim_ds))
+            agg.setdefault("id_sim_dataset_aligned", []).append(sim_ds)
+            agg.setdefault("id_align_drift", []).append(
+                abs(float(jax.device_get(sim_det)) - sim_ds)
             )
 
     def save(self, tag: str):

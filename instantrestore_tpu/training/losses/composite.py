@@ -32,36 +32,61 @@ def landmark_attention_loss(
     pred_probs: jnp.ndarray,  # [B, heads, q, K] (widened)
     gt_probs: jnp.ndarray,    # [1|B, heads, q, q] gaussian-splatted targets
     mask: jnp.ndarray,        # [1|B, q] bool landmark positions
-    chosen_cond: jnp.ndarray, # scalar int: KV segment index (traced)
+    chosen_cond: jnp.ndarray, # [] or [B] int: KV segment index (traced)
 ) -> jnp.ndarray:
     """coach.py:531-560: min-max-normalize both maps, slice the chosen
     conditioning segment, masked MSE over landmark query rows. The mean is
     over the selected elements (masked rows x heads x key-pixels x batch),
-    matching the reference's boolean-index mean."""
+    matching the reference's boolean-index mean.
+
+    Batch>1 extension (the reference only works for batch 1, coach.py:633):
+    targets/masks/segment indices are PER-SAMPLE, normalization is per-sample
+    min-max (identical to the reference's whole-tensor normalize at B=1), and
+    the conditioning segment is gathered per sample."""
+    b, h, q, K = pred_probs.shape
     pf = pred_probs.astype(jnp.float32)
-    pf = (pf - pf.min()) / (pf.max() - pf.min() + 1e-12)
-    gf = gt_probs.astype(jnp.float32)
-    gf = (gf - gf.min()) / (gf.max() - gf.min() + 1e-12)
-    b, h, q, _ = pred_probs.shape
-    seg = jax.lax.dynamic_slice_in_dim(pf, chosen_cond * q, q, axis=3)
-    w = mask[:, None, :, None].astype(jnp.float32)
+    pmin = pf.min(axis=(1, 2, 3), keepdims=True)
+    pmax = pf.max(axis=(1, 2, 3), keepdims=True)
+    pf = (pf - pmin) / (pmax - pmin + 1e-12)
+    gf = jnp.broadcast_to(gt_probs.astype(jnp.float32), (b, h, q, q))
+    gmin = gf.min(axis=(1, 2, 3), keepdims=True)
+    gmax = gf.max(axis=(1, 2, 3), keepdims=True)
+    gf = (gf - gmin) / (gmax - gmin + 1e-12)
+    cond = jnp.broadcast_to(jnp.asarray(chosen_cond, jnp.int32), (b,))
+    segs = pf.reshape(b, h, q, K // q, q)
+    seg = jnp.take_along_axis(
+        segs, cond[:, None, None, None, None], axis=3
+    )[:, :, :, 0]
+    w = jnp.broadcast_to(mask, (b, q))[:, None, :, None].astype(jnp.float32)
     num = (jnp.square(seg - gf) * w).sum()
-    den = w.sum() * h * q * (b // mask.shape[0])
+    den = w.sum() * h * q
     return num / jnp.maximum(den, 1.0)
 
 
-def attention_entropy_reg(attn_probs: List[jnp.ndarray], n_segments: int = 5) -> jnp.ndarray:
+def attention_entropy_reg(
+    attn_probs: List[jnp.ndarray], n_segments: int = 5, train_input: bool = True
+) -> jnp.ndarray:
     """coach.py:599-617: encourage uniform usage of the reference segments
     (cross-entropy between the per-query argmax-segment histogram and the
-    uniform distribution), averaged over layers. Uses a softmax relaxation of
-    the one-hot argmax so it stays differentiable under jit (the torch
-    version's hard one_hot has zero gradient anyway; the statistics match)."""
+    uniform distribution), averaged over layers.
+
+    Like the reference this uses the HARD one_hot(argmax) histogram — the
+    term has zero gradient through the argmax and acts as a logged statistic
+    plus a constant penalty; we keep it bit-compatible rather than relaxing
+    it. Reference quirks preserved in train_input mode: segment 0 (the input
+    image, :605) is dropped but one_hot keeps num_classes=n_segments (:607),
+    so the never-selected input column contributes a constant -0.2*log(1e-8)
+    per head. In refs-only mode (train_input=False) the reference's hardcoded
+    5-segment view would simply crash (coach.py:603); our semantic: segment 0
+    is a reference like any other, so nothing is dropped and the histogram is
+    over all n_segments references."""
     regs = []
     for probs in attn_probs:
         b, h, q, k = probs.shape
         seg = probs.reshape(b, h, q, n_segments, k // n_segments)
-        seg = seg[:, :, :, 1:, :]  # drop the input-image segment (:605)
-        mean_act = seg.mean(axis=-1)  # [B, h, q, n-1]
+        if train_input:
+            seg = seg[:, :, :, 1:, :]  # drop the input-image segment (:605)
+        mean_act = seg.mean(axis=-1)  # [B, h, q, n_seg or n_seg-1]
         one_hot = jax.nn.one_hot(jnp.argmax(mean_act, axis=-1), n_segments)
         avg = one_hot.mean(axis=2)  # [B, h, n]
         log_probs = jnp.log(avg + 1e-8)
@@ -161,7 +186,9 @@ def compute_generator_loss(
     n_segments = 5 if train_input else 4
 
     if cfg.lambda_attn_reg > 0 and attn_probs:
-        losses["loss_attn_reg"] = attention_entropy_reg(attn_probs, n_segments)
+        losses["loss_attn_reg"] = attention_entropy_reg(
+            attn_probs, n_segments, train_input=train_input
+        )
         total += losses["loss_attn_reg"] * cfg.lambda_attn_reg
 
     if cfg.lambda_cycle > 0 and degrade_fn is not None:

@@ -126,6 +126,25 @@ def alignment_transforms(
     return np.stack(mats).astype(np.float32), np.asarray(valid)
 
 
+def detector_alignment_mats(
+    detect_fn, images_pm1: np.ndarray, output_size: int = 112
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Detector-based alignment: the reference's per-step MTCNN path
+    (criteria/utils.py:35-63) — detect 5-pt landmarks on each image, solve
+    cp2tform to the ArcFace template; identity mat + invalid flag on
+    detection failure.
+
+    ``detect_fn``: uint8 [H,W,3] -> [5,2] landmark points or None (e.g. the
+    in-repo cascade via ``data.mtcnn.landmark_detector(params)``). Host-side
+    — intended for validation/logging cadence; the per-step training path
+    uses the dataset-precomputed alignment (PARITY.md 'ID alignment')."""
+    pts = []
+    for im in np.asarray(images_pm1):
+        u8 = ((np.clip(im, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+        pts.append(detect_fn(u8))
+    return alignment_transforms(pts, output_size=output_size)
+
+
 # ---------------------------------------------------------------------------
 # differentiable warp (JAX)
 # ---------------------------------------------------------------------------

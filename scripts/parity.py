@@ -20,12 +20,19 @@ Three sub-commands, one JSON report each:
   (SURVEY §7 "host-side variance": the reference samples latent_dist and
   fresh gaussian noise per forward, pix2pix_turbo.py:291,306-311).
 
+* ``dump-activations`` — per-stage activation .npz via
+  ``restore_forward(debug_taps=True)`` (VAE-enc moments, each UNet down/mid/
+  up block, the 9 shared attentions, eps, x0, decode) so a torch-side run can
+  attribute any >1e-2 end-to-end divergence block by block.
+
 Usage:
   python scripts/parity.py gradio --checkpoint ckpt [--data .../gradio_data]
                                   [--arcface arcface.npz] [--out report.json]
-  python scripts/parity.py convert-diff --pt model.pt [--out report.json]
+  python scripts/parity.py convert-diff --pt model.pt [--strict] [--out report.json]
   python scripts/parity.py determinism --checkpoint ckpt --input img.png
                                   --refs dir/ [--dump parity_dump.npz]
+  python scripts/parity.py dump-activations --checkpoint ckpt --input img.png
+                                  --refs dir/ [--dump activations.npz] [--fp32]
 """
 
 from __future__ import annotations
@@ -139,6 +146,114 @@ def cmd_gradio(args) -> dict:
     )
 
 
+def _canonical_torch_key(key: str) -> str:
+    """Normalize a peft-decorated torch key to the canonical name our
+    exporter emits: strip ``.base_layer`` wrappers, collapse any lora adapter
+    name to ``default``."""
+    parts = key.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "base_layer":
+            i += 1
+            continue
+        if p in ("lora_A", "lora_B") and i + 2 < len(parts):
+            out.extend([p, "default", parts[i + 2]])
+            i += 3
+            continue
+        out.append(p)
+        i += 1
+    return ".".join(out)
+
+
+def strict_group_check(group_sd, template_tree=None) -> dict:
+    """Fail-able converter check for ONE network's state dict.
+
+    * roundtrip: every weight/bias torch key must survive
+      torch->tree->torch unchanged (unmapped keys / layout drift FAIL).
+    * template: when a freshly-initialized template tree is supplied, the
+      converted tree's leaf set must cover it exactly (missing leaves FAIL;
+      extra leaves are reported).
+    """
+    from instantrestore_tpu.utils.torch_convert import (
+        convert_state_dict,
+        tree_to_torch_state_dict,
+    )
+
+    def np_of(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    tree = convert_state_dict(group_sd)
+    back = tree_to_torch_state_dict(tree)
+    expected = {
+        _canonical_torch_key(k): np_of(v)
+        for k, v in group_sd.items()
+        if k.split(".")[-1] in ("weight", "bias")
+    }
+    unmapped = sorted(set(expected) - set(back))
+    roundtrip_maxabs = 0.0
+    drifted = []
+    for k, v in expected.items():
+        if k in back:
+            d = float(np.abs(back[k].astype(np.float64) - v.astype(np.float64)).max())
+            roundtrip_maxabs = max(roundtrip_maxabs, d)
+            if d > 1e-6:
+                drifted.append({"key": k, "maxabs": d})
+
+    def leaf_paths(t, prefix=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                yield from leaf_paths(v, f"{prefix}.{k}" if prefix else str(k))
+        elif isinstance(t, list):
+            for i, v in enumerate(t):
+                yield from leaf_paths(v, f"{prefix}[{i}]")
+        else:
+            yield prefix
+
+    missing_leaves, extra_leaves = [], []
+    if template_tree is not None:
+        got = set(leaf_paths(tree))
+        want = set(leaf_paths(template_tree))
+        missing_leaves = sorted(want - got)
+        extra_leaves = sorted(got - want)
+    return {
+        "n_torch_tensors": len(group_sd),
+        "unmapped_keys": unmapped,
+        "roundtrip_maxabs": roundtrip_maxabs,
+        "drifted_keys": drifted,
+        "missing_template_leaves": missing_leaves,
+        "extra_template_leaves": extra_leaves,
+        "ok": not unmapped and not drifted and not missing_leaves,
+    }
+
+
+def full_size_templates() -> dict:
+    """Freshly-initialized full-size trees for template comparison (strict
+    mode on the released checkpoints: rank-32 LoRA per pix2pix_turbo.py)."""
+    import jax
+
+    from instantrestore_tpu.models.lora import (
+        UNET_LORA_TARGETS,
+        VAE_LORA_TARGETS,
+        attach_lora,
+    )
+    from instantrestore_tpu.models.text_encoder import init_text_encoder_params
+    from instantrestore_tpu.models.unet import init_unet_params
+    from instantrestore_tpu.models.vae import init_vae_params
+
+    key = jax.random.PRNGKey(0)
+    unet = init_unet_params(key)
+    vae = init_vae_params(key)
+    return {
+        "unet": attach_lora(unet, key, 32, UNET_LORA_TARGETS),
+        "vae": attach_lora(vae, key, 32, VAE_LORA_TARGETS),
+        "original_unet": unet,
+        "original_vae": vae,
+        "text_encoder": init_text_encoder_params(key),
+    }
+
+
 def cmd_convert_diff(args) -> dict:
     """Per-block golden diff of the torch->pytree weight conversion."""
     import torch
@@ -167,7 +282,10 @@ def cmd_convert_diff(args) -> dict:
         else:
             yield prefix, tree
 
-    report = {"mode": "convert-diff", "pt": str(args.pt), "groups": {}}
+    templates = full_size_templates() if args.strict and args.template else {}
+    report = {"mode": "convert-diff", "pt": str(args.pt),
+              "strict": bool(args.strict), "groups": {}}
+    failed = []
     for net, group_sd in groups.items():
         tree = convert_state_dict(group_sd)
         out_leaves = dict(leaves(tree))
@@ -198,11 +316,86 @@ def cmd_convert_diff(args) -> dict:
             "abs_mass_rel_err": abs(torch_mass - ours_mass) / max(torch_mass, 1e-12),
             "tensors": stats if args.verbose else stats[:8],
         }
+        if args.strict:
+            check = strict_group_check(group_sd, templates.get(net))
+            report["groups"][net]["strict"] = check
+            if not check["ok"]:
+                failed.append(net)
+            print(
+                f"{net} strict: unmapped={len(check['unmapped_keys'])} "
+                f"drifted={len(check['drifted_keys'])} "
+                f"missing={len(check['missing_template_leaves'])} "
+                f"-> {'OK' if check['ok'] else 'FAIL'}"
+            )
         print(
             f"{net}: {len(group_sd)} torch tensors -> {len(out_leaves)} leaves, "
             f"mass rel err {report['groups'][net]['abs_mass_rel_err']:.2e}"
         )
+    report["ok"] = not failed
+    if args.strict and failed:
+        report["failed_groups"] = failed
+        Path(args.out).write_text(json.dumps(report, indent=1))
+        print(f"STRICT CONVERT-DIFF FAILED for groups: {failed}; wrote {args.out}")
+        sys.exit(1)
     return report
+
+
+def cmd_dump_activations(args) -> dict:
+    """Per-stage activation dump for cross-framework golden diffing.
+
+    Runs the deterministic restore forward (latent mode(), fixed PRNG,
+    t=249) with debug_taps=True and writes every stage activation — VAE-enc
+    moments, noised latent, each UNet down/mid/up block, each of the 9 shared
+    attentions, eps, x0, decode — to an .npz. A GPU-side torch run consuming
+    the same {image, conds, noise} can then attribute any >1e-2 end-to-end
+    divergence block-by-block (SURVEY §7 'disciplined golden-activation
+    diffing'; VERDICT r2 item 2)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from instantrestore_tpu.inference.predictor import Predictor
+    from instantrestore_tpu.models.restorer import restore_forward
+
+    predictor = Predictor(
+        args.checkpoint, resolution=args.resolution, deterministic=True,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    refs = [
+        Image.open(p).convert("RGB")
+        for p in sorted(Path(args.refs).glob("*"))
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    ][:4]
+    img = Image.open(args.input).convert("RGB")
+    image = predictor.prepare_image(img, predictor.resolution)[None]
+    conds, _ = predictor.prepare_conditioning_images(refs, resolution=predictor.resolution)
+
+    out = jax.jit(
+        lambda p, im, cd, v, r: restore_forward(
+            p, im, cd, v, rng=r, statics=predictor.statics,
+            timestep=predictor.noise_timestep, sample_posterior=False,
+            debug_taps=True, use_fused_attention=False,
+        )
+    )(
+        predictor.params,
+        jnp.asarray(image),
+        jnp.asarray(conds)[None],
+        jnp.full((1,), conds.shape[0], jnp.int32),
+        jax.random.PRNGKey(predictor._seed),
+    )
+    taps = {k: np.asarray(v, np.float32) for k, v in out["taps"].items()}
+    taps["output_image"] = np.asarray(out["output_image"], np.float32)
+    taps["input_image"] = image
+    taps["conds"] = conds
+    np.savez_compressed(args.dump, **taps)
+    summary = {
+        "mode": "dump-activations",
+        "dump": str(args.dump),
+        "stages": sorted(taps),
+        "stage_absmax": {k: float(np.abs(v).max()) for k, v in taps.items()},
+    }
+    print(f"dumped {len(taps)} stages to {args.dump}")
+    return summary
 
 
 def cmd_determinism(args) -> dict:
@@ -264,7 +457,22 @@ def main():
     c = sub.add_parser("convert-diff")
     c.add_argument("--pt", required=True)
     c.add_argument("--verbose", action="store_true")
+    c.add_argument("--strict", action="store_true",
+                   help="fail (exit 1) on unmapped keys, roundtrip drift, "
+                        "or missing template leaves")
+    c.add_argument("--template", action="store_true", default=True,
+                   help="compare against freshly-initialized full-size trees")
+    c.add_argument("--no-template", dest="template", action="store_false")
     c.add_argument("--out", default="parity_convert.json")
+
+    da = sub.add_parser("dump-activations")
+    da.add_argument("--checkpoint", required=True)
+    da.add_argument("--input", required=True)
+    da.add_argument("--refs", required=True)
+    da.add_argument("--resolution", type=int, default=512)
+    da.add_argument("--fp32", action="store_true")
+    da.add_argument("--dump", default="activations.npz")
+    da.add_argument("--out", default="parity_activations.json")
 
     d = sub.add_parser("determinism")
     d.add_argument("--checkpoint", required=True)
@@ -279,6 +487,7 @@ def main():
         "gradio": cmd_gradio,
         "convert-diff": cmd_convert_diff,
         "determinism": cmd_determinism,
+        "dump-activations": cmd_dump_activations,
     }[args.cmd](args)
     Path(args.out).write_text(json.dumps(report, indent=1))
     print(f"wrote {args.out}")

@@ -85,6 +85,30 @@ def test_entropy_reg_prefers_uniform_usage():
     assert ls < lc
 
 
+def test_entropy_reg_refs_only_uses_all_segments():
+    """train_input=False: segment 0 is a reference, not the input — nothing
+    is dropped and a collapse onto segment 0 must be penalized exactly like a
+    collapse onto any other segment (our documented refs-only semantic; the
+    reference's hardcoded 5-segment view would crash here, coach.py:603)."""
+    b, h, q, n = 1, 2, 8, 4
+    collapse = []
+    for s in range(n):
+        p = np.full((b, h, q, n * q), 0.1, np.float32)
+        p[:, :, :, s * q:(s + 1) * q] = 1.0
+        collapse.append(
+            float(attention_entropy_reg([jnp.asarray(p)], n, train_input=False))
+        )
+    # all four collapse directions score identically (segment 0 included)
+    assert max(collapse) - min(collapse) < 1e-6
+    # and uniform usage over the 4 refs scores strictly lower
+    spread = np.full((b, h, q, n * q), 0.1, np.float32)
+    for i in range(q):
+        s = i % 4
+        spread[:, :, i, s * q:(s + 1) * q] = 1.0
+    ls = float(attention_entropy_reg([jnp.asarray(spread)], n, train_input=False))
+    assert ls < min(collapse)
+
+
 def test_pos_neg_reg_direction():
     """pos reg decreases as the target segment's mass grows; neg reg the
     opposite (coach.py:656-680 NLL semantics)."""

@@ -109,6 +109,125 @@ def test_coach_smoke(data_root, tmp_path):
     assert (exp_dir / "logs" / "train_images").exists()
 
 
+def test_coach_scan_dispatch(data_root, tmp_path):
+    """steps_per_dispatch>1: N G+D steps run inside one scanned program
+    (the production loop for dispatch-dominated runtimes, ROADMAP.md) and
+    reach the same bookkeeping state as the per-step loop."""
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+    import jax
+
+    train_root, val_root = data_root
+    cfg = TrainConfig()
+    cfg.compute.batch_size = 1
+    cfg.compute.workers = 0
+    cfg.compute.steps_per_dispatch = 2
+    cfg.data.data_root = str(train_root)
+    cfg.data.val_data_root = str(val_root)
+    cfg.data.dataset_type = "face_restore"
+    cfg.data.resolution = 64
+    cfg.data.overfit = True
+    cfg.log.exp_root = str(tmp_path)
+    cfg.log.exp_name = "scan"
+    cfg.log.log2wandb = False
+    cfg.steps.max_steps = 4
+    cfg.steps.metric_interval = 2
+    cfg.steps.image_interval = 4
+    cfg.steps.val_interval = 100
+    cfg.steps.save_interval = 100
+    cfg.optim.lambda_lpips = 0.5
+    cfg.optim.lambda_ssim = 0.0
+    cfg.optim.lambda_gan = 0.5
+    cfg.optim.gradient_accumulation_steps = 1
+    cfg.model.lora_rank_unet = 4
+    cfg.model.lora_rank_vae = 4
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach = Coach(cfg, statics=TINY_STATICS, params=params, vit_cfg=TINY_VIT)
+    before = np.asarray(
+        jax.device_get(
+            coach.params["unet"]["up_blocks"][1]["attentions"][0][
+                "transformer_blocks"
+            ][0]["attn1"]["to_q"]["lora_B"]
+        )
+    ).copy()
+    coach.train()
+    after = np.asarray(
+        jax.device_get(
+            coach.params["unet"]["up_blocks"][1]["attentions"][0][
+                "transformer_blocks"
+            ][0]["attn1"]["to_q"]["lora_B"]
+        )
+    )
+    assert coach.train_step_num == 4
+    assert not np.allclose(before, after)
+    exp_dir = cfg.log.exp_dir
+    assert (exp_dir / "logs" / "train_images").exists()
+    # disc heads moved too (D step ran inside the scan)
+    assert coach.disc_heads is not None
+
+
+def test_validate_aggregates_whole_set_and_caps_vis(tmp_path_factory, tmp_path):
+    """Reference coach.py:352-361: metrics aggregate over the ENTIRE test
+    loader; val_vis_count caps only visualization batches."""
+    import jax
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+
+    rng = np.random.default_rng(1)
+    train_root = tmp_path_factory.mktemp("agg_train")
+    d = train_root / "a" / "cropped_images"
+    d.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (96, 96, 3), np.uint8)).save(d / f"{i}.png")
+    val_root = tmp_path_factory.mktemp("agg_val")
+    for ident in ["x", "y", "z"]:
+        v = val_root / ident
+        (v / "conditioning").mkdir(parents=True)
+        for name in ["degraded.png", "gt.png", "conditioning/c0.png"]:
+            Image.fromarray(rng.integers(0, 255, (96, 96, 3), np.uint8)).save(v / name)
+
+    cfg = TrainConfig()
+    cfg.compute.batch_size = 1
+    cfg.compute.test_batch_size = 1
+    cfg.compute.workers = 0
+    cfg.compute.test_workers = 0
+    cfg.data.data_root = str(train_root)
+    cfg.data.val_data_root = str(val_root)
+    cfg.data.dataset_type = "face_restore"
+    cfg.data.resolution = 64
+    cfg.log.exp_root = str(tmp_path)
+    cfg.log.exp_name = "agg"
+    cfg.log.log2wandb = False
+    cfg.log.val_vis_count = 0  # vis only batch 0 (reference's <= semantics)
+    cfg.log.vis_attention = False
+    cfg.optim.lambda_gan = 0.0
+    cfg.optim.lambda_lpips = 0.0
+    cfg.model.lora_rank_unet = 4
+    cfg.model.lora_rank_vae = 4
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach = Coach(cfg, statics=TINY_STATICS, params=params)
+
+    eval_calls = []
+    orig = coach._eval_step
+    coach._eval_step = lambda *a, **k: (eval_calls.append(1), orig(*a, **k))[1]
+    val_loss = coach.validate()
+    # all 3 val batches contributed to the metric aggregation
+    assert len(eval_calls) == 3
+    assert val_loss is not None and np.isfinite(val_loss)
+    # but only batch 0 was visualized
+    vis_root = cfg.log.exp_dir / "logs"
+    assert (vis_root / "val_images" / "0000").exists()
+    assert not (vis_root / "val_images" / "0001").exists()
+
+
 def test_overfit_loss_decreases(data_root, tmp_path):
     """The reference's de-facto training sanity check: loss should trend down
     when overfitting one batch (SURVEY.md §4)."""

@@ -144,7 +144,7 @@ def test_landmark_attn_targets(train_root, tmp_path):
     item = ds[0]
     probs = item["gt_attn_probs"]
     assert probs is not None
-    attn, mask, layer, cond = probs
+    attn, mask, layer, cond, gt_lm, cond_lm = probs
     stats = [(20, 16)] * 3 + [(10, 32)] * 3 + [(5, 64)] * 3
     heads, size = stats[layer]
     assert attn.shape == (heads, size * size, size * size)

@@ -157,6 +157,76 @@ def test_full_recipe_all_terms_live(recipe_root, tmp_path, tiny_layer_stats):
     assert np.isfinite(float(jax.device_get(d_loss)))
 
 
+def test_collate_per_sample_landmark_targets(recipe_root, tiny_layer_stats):
+    """Batch>1 landmark semantics (VERDICT r2 item 5): collate emits
+    PER-SAMPLE maps at one batch-shared layer, re-splatting items whose own
+    sampled layer differs — no more reference 'works for 1 batch' bug."""
+    from instantrestore_tpu.data.datasets import (
+        RestoreDataset,
+        build_landmark_target,
+        collate,
+    )
+
+    ds = RestoreDataset(recipe_root, resolution=RES, get_gt_attn_probs=True)
+    items = [ds[i] for i in range(3)]
+    assert all(it.get("gt_attn_probs") is not None for it in items)
+    batch = collate(items)
+    probs, masks, layer, conds = batch["gt_attn_probs"]
+    assert probs.shape[0] == 3 and masks.shape[0] == 3 and conds.shape == (3,)
+    assert int(layer) == int(items[0]["gt_attn_probs"][2])
+    # every sample's map equals a fresh splat of ITS OWN landmarks at the
+    # shared layer (not item 0's map broadcast)
+    for i, it in enumerate(items):
+        gt_lm, cond_lm = it["gt_attn_probs"][4], it["gt_attn_probs"][5]
+        want_p, want_m = build_landmark_target(gt_lm, cond_lm, int(layer), RES)
+        np.testing.assert_allclose(probs[i], want_p, atol=1e-6)
+        np.testing.assert_array_equal(masks[i], want_m)
+    # raw coords ride along for the scan-dispatch re-splat
+    assert len(batch["landmark_coords"]) == 3
+
+
+def test_full_recipe_multidevice(recipe_root, tmp_path, tiny_layer_stats):
+    """The FULL G+D recipe (landmark + facial-comp crops + GAN + cycle +
+    pos/neg + entropy) executes on a multi-device mesh with the batch
+    sharded — not just the plain-L2 step (VERDICT r2 item 5)."""
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+
+    n_dev = min(2, jax.device_count())
+    assert n_dev >= 2, "conftest provides an 8-device CPU mesh"
+    cfg = _full_cfg(recipe_root, tmp_path)
+    cfg.compute.batch_size = n_dev
+    cfg.log.exp_name = "recipe_dp"
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach = Coach(cfg, statics=TINY_STATICS, params=params, vit_cfg=TINY_VIT)
+    assert coach.device_count == n_dev
+
+    batch = next(iter(coach.train_loader))
+    assert batch["image"].shape[0] == n_dev
+    dev_batch, landmark_layer = coach._device_batch(batch)
+    # per-sample landmark targets sharded over the data axis
+    assert dev_batch["gt_attn_probs"].shape[0] == n_dev
+    assert dev_batch["gt_attn_cond"].shape == (n_dev,)
+
+    coach.params, coach.g_opt_state, losses, pred = coach._g_step(
+        coach.params, coach.g_opt_state, coach.disc_heads, dev_batch,
+        jax.random.PRNGKey(1), landmark_layer=landmark_layer,
+    )
+    losses = jax.device_get(losses)
+    for k in ["loss_l2", "loss_landmark", "loss_cycle", "loss_g",
+              "loss_facial_comp_l2", "loss_attn_reg", "loss"]:
+        assert np.isfinite(float(losses[k])), (k, losses[k])
+    coach.disc_heads, coach.d_opt_state, d_loss = coach._d_step(
+        coach.disc_heads, coach.d_opt_state, pred, dev_batch["gt"],
+        dev_batch.get("facial_comp_boxes"), jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(jax.device_get(d_loss)))
+
+
 def test_landmark_loss_overfit_decreases(recipe_root, tmp_path, tiny_layer_stats):
     """Landmark-attention loss alone, overfit: must decrease under the jitted
     step (proves gradients flow through the attention probabilities)."""
@@ -221,6 +291,71 @@ def test_aligned_id_loss_gradient_flows(recipe_root, tiny_layer_stats):
     g = jax.grad(f)(pred)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_detector_alignment_mats_stub():
+    """detector_alignment_mats: the reference's per-step MTCNN semantics
+    (criteria/utils.py:35-63) with a pluggable detector — valid mats map the
+    detected points to the template; detection failure -> identity + invalid."""
+    from instantrestore_tpu.training.losses.id_loss import (
+        ARCFACE_REFERENCE_POINTS,
+        detector_alignment_mats,
+    )
+
+    theta, scale = 0.2, 1.5
+    rot = scale * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    pts = ARCFACE_REFERENCE_POINTS @ rot.T + np.array([20.0, 8.0])
+    calls = []
+
+    def detect(u8):
+        calls.append(u8.dtype)
+        return pts if len(calls) == 1 else None
+
+    imgs = np.zeros((2, 64, 64, 3), np.float32)
+    mats, valid = detector_alignment_mats(detect, imgs)
+    assert calls == [np.dtype(np.uint8)] * 2
+    assert valid.tolist() == [True, False]
+    mapped = np.hstack([pts, np.ones((5, 1))]) @ mats[0].T
+    np.testing.assert_allclose(mapped, ARCFACE_REFERENCE_POINTS, atol=1e-2)
+    np.testing.assert_allclose(mats[1], np.eye(2, 3), atol=1e-7)
+
+
+def test_validate_logs_detected_id_sim(recipe_root, tmp_path, tiny_layer_stats):
+    """The id_detect_predictions validation hook logs detector-aligned vs
+    dataset-aligned ID similarity + their drift (VERDICT r2 item 7)."""
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+    from instantrestore_tpu.training.losses import id_loss as id_mod
+    from instantrestore_tpu.training.losses.id_loss import ARCFACE_REFERENCE_POINTS
+
+    cfg = _full_cfg(recipe_root, tmp_path)
+    cfg.optim.lambda_gan = 0.0
+    cfg.optim.lambda_id_loss = 1.0
+    cfg.optim.id_detect_predictions = True
+    cfg.log.exp_name = "id_detect"
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    arc = id_mod.init_arcface_params(jax.random.PRNGKey(1))
+    coach = Coach(
+        cfg, statics=TINY_STATICS, params=params, vit_cfg=TINY_VIT,
+        arcface_params=arc,
+    )
+    coach._id_detect_fn = lambda u8: ARCFACE_REFERENCE_POINTS * (
+        u8.shape[0] / 112.0
+    )
+    batch = next(iter(coach.train_loader))
+    assert "id_mats_pred" in batch
+    agg = {}
+    pred = np.asarray(batch["image"], np.float32)
+    coach._log_detected_id_sim(agg, pred, batch)
+    for k in ("id_sim_detected", "id_detect_rate",
+              "id_sim_dataset_aligned", "id_align_drift"):
+        assert k in agg and np.isfinite(agg[k][0]), (k, agg)
+    assert agg["id_detect_rate"][0] == 1.0
 
 
 def test_id_alignment_maps_landmarks_to_template(recipe_root):
