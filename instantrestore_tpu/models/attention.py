@@ -111,6 +111,53 @@ def widen_kv(
     return wide_k, wide_v
 
 
+def segment_softmax_sums(
+    q: jnp.ndarray, k_segments: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """Per-query softmax mass of each KV segment WITHOUT materializing the
+    [B, h, Sq, K] probabilities: [B, h, Sq, n_seg], rows sum to 1.
+
+    The attention-regularizer losses (entropy histogram, pos/neg reference
+    regs — coach.py:599-617,642-680) only consume per-segment reductions of
+    the probabilities; materializing full probs for all 9 shared layers is
+    what blocks batch>=2 at 512px on a 16 GB chip (ROADMAP 'attention-loss
+    memory'). This streams the segments twice with lax.scan (global max pass
+    with stopped gradients, then exp-sum pass), so the transient footprint is
+    ONE [B, h, Sq, S] logits block instead of nine [B, h, Sq, n_seg*S]
+    tensors, and stays differentiable (used by the pos/neg NLL terms) with
+    scan-step rematerialization in the backward.
+
+    q: [B, h, Sq, d]; k_segments: [n_seg, B, h, S, d] (stacked widened-KV
+    segments in the widen_kv order).
+    """
+
+    def logits(k_seg):
+        return (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k_seg, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+
+    b, h, sq, _ = q.shape
+
+    def max_step(m, k_seg):
+        return jnp.maximum(m, logits(k_seg).max(axis=-1)), None
+
+    m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
+    m, _ = jax.lax.scan(jax.checkpoint(max_step), m0, k_segments)
+    m = jax.lax.stop_gradient(m)[..., None]
+
+    def sum_step(carry, k_seg):
+        return carry, jnp.exp(logits(k_seg) - m).sum(axis=-1)
+
+    _, sums = jax.lax.scan(
+        jax.checkpoint(sum_step), jnp.zeros((), jnp.float32), k_segments
+    )  # [n_seg, B, h, Sq]
+    sums = jnp.moveaxis(sums, 0, -1)
+    return sums / jnp.maximum(sums.sum(axis=-1, keepdims=True), 1e-30)
+
+
 def attention(
     p: dict,
     hidden: jnp.ndarray,
@@ -122,6 +169,7 @@ def attention(
     train_input: bool = True,
     capture_kv: bool = False,
     save_probs: bool = False,
+    save_seg_sums: bool = False,
     lora_scaling: float = 1.0,
     use_fused: bool = False,
     use_faceid: bool = False,
@@ -170,6 +218,52 @@ def attention(
 
     d = q.shape[-1]
     scale = d ** -0.5
+
+    if save_seg_sums and ref_kv is not None:
+        # stacked segments in widen_kv order: [input,] ref_1..ref_N — small
+        # (K is [*, S, d]); the big logits stay streamed inside
+        rk = ref_kv[0]
+        segs = ([k] if train_input else []) + [
+            rk[:, i] for i in range(rk.shape[1])
+        ]
+        aux["seg_sums"] = segment_softmax_sums(q, jnp.stack(segs), scale)
+
+    from instantrestore_tpu.ops.shared_attention import IdentityRef
+
+    if isinstance(ref_kv, IdentityRef):
+        # Batched-serving identity cache (ops/shared_attention.py): the
+        # reference KV stays [I, ...] in HBM; the kernel DMAs each sample's
+        # identity blocks via scalar-prefetch indexing — no per-call gather.
+        # Refs-only by construction (serving final config).
+        assert not train_input and not save_probs and not save_seg_sums
+        if use_fused:
+            from instantrestore_tpu.ops.shared_attention import (
+                shared_attention_identity,
+            )
+
+            out = shared_attention_identity(
+                q, k, v, ref_kv.cache, ref_kv.ids,
+                scale=scale, use_adain=use_adain,
+            )
+        else:
+            # XLA fallback (CPU tests / odd configs): materialize the gather
+            from instantrestore_tpu.ops.shared_attention import (
+                gather_identity_kv,
+            )
+
+            rk, rv = gather_identity_kv(ref_kv.cache, ref_kv.ids)
+            wk, wv = widen_kv(k, v, rk, rv, use_adain=use_adain, train_input=False)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, wk, preferred_element_type=jnp.float32
+            ) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(wv.dtype), wv,
+                preferred_element_type=jnp.float32,
+            ).astype(hidden.dtype)
+        out = _merge_heads(out)
+        out = dense(p["to_out"], out, lora_scaling=lora_scaling)
+        return out, aux
 
     if use_fused and not save_probs:
         # flash_vjp wraps the inference kernels in jax.custom_vjp, so this

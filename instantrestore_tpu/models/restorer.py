@@ -258,6 +258,8 @@ def restore_forward(
     sample_posterior: bool = True,
     decode_conditions: bool = False,
     save_attn_probs: bool = False,
+    probs_layers: Optional[Tuple[int, ...]] = None,
+    save_seg_sums: bool = False,
     use_fused_attention: bool = False,
     precomputed_ref_kv=None,
     remat: bool = False,
@@ -356,6 +358,8 @@ def restore_forward(
             use_adain=statics.use_adain,
             train_input=statics.train_input,
             save_attn_probs=save_attn_probs,
+            probs_layers=probs_layers,
+            save_seg_sums=save_seg_sums,
             use_fused_attention=use_fused_attention,
             use_faceid=use_faceid,
             capture_taps=debug_taps,
@@ -391,6 +395,8 @@ def restore_forward(
         result["output_image_conditions"] = decoded_conds
     if save_attn_probs:
         result["attn_probs"] = aux.get("attn_probs")
+    if save_seg_sums:
+        result["attn_seg_sums"] = aux.get("seg_sums")
     if debug_taps:
         taps = {
             "vae_enc_mean": mean,

@@ -39,10 +39,10 @@ from instantrestore_tpu.ops.primitives import (
     init_dense,
     init_norm,
     layer_norm,
-    nearest_upsample_2x,
     silu,
     geglu,
     timestep_embedding,
+    upsample2x_conv,
 )
 
 DEFAULT_FREEU = FreeUParams(s1=0.9, s2=0.2, b1=1.4, b2=1.6)  # pix2pix_turbo.py:62-68
@@ -294,6 +294,7 @@ def _transformer(
             train_input=sh.get("train_input", True),
             capture_kv=sh.get("capture_kv", False),
             save_probs=sh.get("save_probs", False),
+            save_seg_sums=sh.get("save_seg_sums", False),
             use_fused=sh.get("use_fused", False),
             lora_scaling=lora_scaling,
         )
@@ -327,6 +328,8 @@ def unet_apply(
     ref_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     capture_kv: bool = False,
     save_attn_probs: bool = False,
+    probs_layers: Optional[Tuple[int, ...]] = None,
+    save_seg_sums: bool = False,
     use_adain: bool = False,
     train_input: bool = True,
     freeu: Optional[FreeUParams] = DEFAULT_FREEU,
@@ -341,7 +344,12 @@ def unet_apply(
 
     Returns (epsilon prediction [B, H, W, 4],
              aux = {'kv': [(k, v) x 9]        when capture_kv,
-                    'attn_probs': [p x 9]     when save_attn_probs,
+                    'attn_probs': [p x 9]     when save_attn_probs
+                                              (None at layers outside
+                                               probs_layers when set),
+                    'seg_sums': [s x 9]       when save_seg_sums
+                                              ([B,h,Sq,n_seg] streamed
+                                               per-segment softmax mass),
                     'taps': {stage: act}      when capture_taps}).
 
     The 9-entry lists are ordered by traversal of up-block self-attentions,
@@ -406,7 +414,8 @@ def unet_apply(
 
     # ---- up path ----
     kv_list: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
-    probs_list: List[jnp.ndarray] = []
+    probs_list: List[Optional[jnp.ndarray]] = []
+    seg_sums_list: List[jnp.ndarray] = []
     shared_idx = 0
     for i, (btype, bp) in enumerate(zip(cfg.up_block_types, params["up_blocks"])):
         heads = cfg.attention_heads[len(cfg.block_out_channels) - 1 - i]
@@ -416,12 +425,16 @@ def unet_apply(
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = _resnet(rp, x, temb, cfg=cfg, lora_scaling=lora_scaling)
             if btype == "CrossAttnUpBlock2D":
+                save_probs_here = save_attn_probs and (
+                    probs_layers is None or shared_idx in probs_layers
+                )
                 shared = {
                     "ref_kv": ref_kv[shared_idx] if ref_kv is not None else None,
                     "use_adain": use_adain,
                     "train_input": train_input,
                     "capture_kv": capture_kv,
-                    "save_probs": save_attn_probs,
+                    "save_probs": save_probs_here,
+                    "save_seg_sums": save_seg_sums,
                     "use_fused": use_fused_attention,
                     "use_faceid": use_faceid,
                 }
@@ -431,14 +444,18 @@ def unet_apply(
                 )
                 if capture_kv:
                     kv_list.append(aux["kv"])
-                if save_attn_probs and "probs" in aux:
-                    probs_list.append(aux["probs"])
+                if save_attn_probs:
+                    probs_list.append(aux.get("probs"))
+                if save_seg_sums and "seg_sums" in aux:
+                    seg_sums_list.append(aux["seg_sums"])
                 if capture_taps:
                     taps[f"shared_attn_{shared_idx}"] = x
                 shared_idx += 1
         if "upsamplers" in bp:
-            x = nearest_upsample_2x(x)
-            x = conv2d(bp["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling)
+            # subpixel-decomposed upsample+conv: 2.25x fewer MACs, exact math
+            x = upsample2x_conv(
+                bp["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling
+            )
         if capture_taps:
             taps[f"up_block_{i}"] = x
 
@@ -451,6 +468,8 @@ def unet_apply(
         aux_out["kv"] = kv_list
     if save_attn_probs:
         aux_out["attn_probs"] = probs_list
+    if save_seg_sums:
+        aux_out["seg_sums"] = seg_sums_list
     if capture_taps:
         aux_out["taps"] = taps
     return x.astype(sample.dtype), aux_out

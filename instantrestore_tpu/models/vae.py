@@ -32,8 +32,8 @@ from instantrestore_tpu.ops.primitives import (
     init_conv2d,
     init_dense,
     init_norm,
-    nearest_upsample_2x,
     silu,
+    upsample2x_conv,
 )
 
 SD_VAE_SCALING_FACTOR = 0.18215
@@ -288,8 +288,10 @@ def vae_decode(
         for rp in block["resnets"]:
             x = _resnet(rp, x, cfg=cfg, lora_scaling=lora_scaling)
         if "upsamplers" in block:
-            x = nearest_upsample_2x(x)
-            x = conv2d(block["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling)
+            # subpixel-decomposed upsample+conv: 2.25x fewer MACs, exact math
+            x = upsample2x_conv(
+                block["upsamplers"][0]["conv"], x, lora_scaling=lora_scaling
+            )
 
     x = group_norm(p["conv_norm_out"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
     x = silu(x)

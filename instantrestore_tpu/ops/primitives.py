@@ -20,11 +20,19 @@ Design notes
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Opt-in alternate conv paths. Both compute identical math and were built as
+# round-3 perf candidates; both MEASURED SLOWER in the batch-16/512px serving
+# profile (see their docstrings), so the defaults stay off. Read once at
+# import: jit-static, flip before importing to experiment.
+_CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
+_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0") == "1"
 
 # ---------------------------------------------------------------------------
 # dense / conv with optional LoRA
@@ -47,6 +55,43 @@ def dense(p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0) -> jnp.ndarray:
     return y
 
 
+def _conv3x3_im2col(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 'same' conv as an im2col matmul, for TINY input-channel
+    counts (the VAE encoder's 3-channel conv_in at 512^2).
+
+    XLA's native conv lane-pads C_in=3 to the full 128-lane tile, so the MXU
+    runs at ~2% utilization (~9-10 ms at batch 16, profiled round 2). Nine
+    shifted views concatenated to 9*C_in channels give a contraction depth of
+    27 instead of 3. Numerics match: bf16 operands, fp32 accumulation,
+    identical weight layout ([kh, kw, cin, cout] reshapes row-major to
+    [9*cin, cout] in exactly the patch order built here).
+
+    MEASURED A REGRESSION round 3 (opt-in via INSTANTRESTORE_CONV_IM2COL=1):
+    the [B*H*W, 27] relayout before the matmul costs ~13.6 ms (reshape) +
+    ~3.1 ms (convert) on chip — MORE than the ~10 ms lane-padded conv it
+    replaces. XLA cannot fuse the 9-view concat into dot_general's operand
+    read; the math win never reaches the wall clock.
+    """
+    dtype = x.dtype
+    b, hh, ww, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, i : i + hh, j : j + ww, :] for i in range(3) for j in range(3)],
+        axis=-1,
+    )  # [B, H, W, 9*cin]
+    w = p["kernel"].astype(dtype).reshape(9 * cin, -1)
+    y = jax.lax.dot_general(
+        patches.reshape(b * hh * ww, 9 * cin),
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    y = y.reshape(b, hh, ww, -1)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
 def conv2d(
     p: dict,
     x: jnp.ndarray,
@@ -62,6 +107,17 @@ def conv2d(
     kernel/stride/padding mapping in->r channels; lora_B is a 1x1 conv r->out.
     """
     dtype = x.dtype
+    if (
+        _CONV_IM2COL
+        and stride == 1
+        and padding == 1
+        and "lora_A" not in p
+        and "kernel_int8" not in p
+        and p["kernel"].ndim == 4
+        and p["kernel"].shape[0] == 3
+        and p["kernel"].shape[2] * 9 <= 128
+    ):
+        return _conv3x3_im2col(p, x)
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(padding, padding), (padding, padding)]
     if "kernel_int8" in p:
@@ -226,6 +282,73 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def upsample2x_conv(
+    p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0
+) -> jnp.ndarray:
+    """nearest-2x upsample followed by a 3x3 'same' conv, computed by
+    SUBPIXEL DECOMPOSITION — the identical math with 2.25x fewer MACs.
+
+    On the 2x-replicated grid each output phase (a, b) in {0,1}^2 only ever
+    multiplies ADJACENT pairs of low-res pixels, with 3x3 taps collapsing to
+    2x2 phase kernels (1-D: y[2i] = w0*x[i-1] + (w1+w2)*x[i];
+    y[2i+1] = (w0+w1)*x[i] + w2*x[i+1]; zero-padding on the upsampled grid
+    maps exactly to zero-padding x by 1). So: 4 valid 2x2 convs over padded
+    low-res x + a depth-to-space interleave, instead of a 3x3 conv over the
+    4x-larger upsampled tensor — the decoder's two big upsampler convs run
+    at the MXU roofline, so the MAC reduction is wall-clock (2x 25 ms ->
+    ~2x 11 ms at batch-16/512px serving). Tap sums are combined in fp32 and
+    cast once, the same rounding scale as the stored bf16 kernels.
+
+    Falls back to the materialized path for LoRA/int8 kernels (training's
+    factored conv-LoRA keeps its exact peft semantics).
+
+    MEASURED NET-NEUTRAL-TO-SLOWER round 3 (opt-in via
+    INSTANTRESTORE_SUBPIXEL_UP=1): the 4 phase convs do land (~2.8 ms each vs
+    25 ms fused), but the depth-to-space interleave materializes as
+    stack+transpose copies (~6.5 + 3.3 ms per upsampler) plus pad/concat
+    fusions of the same size — the copies eat the MAC savings. Revisit only
+    with a Pallas epilogue that writes phases strided into the output.
+    """
+    if (
+        not _SUBPIXEL_UP
+        or "lora_A" in p
+        or "kernel_int8" in p
+        or p["kernel"].shape[0] != 3
+    ):
+        return conv2d(p, nearest_upsample_2x(x), lora_scaling=lora_scaling)
+    dtype = x.dtype
+    bsz, hh, ww, cin = x.shape
+    w = p["kernel"].astype(jnp.float32)  # [3, 3, cin, cout]
+    ky = (
+        jnp.stack([w[0], w[1] + w[2]]),        # phase a=0: rows (i-1, i)
+        jnp.stack([w[0] + w[1], w[2]]),        # phase a=1: rows (i, i+1)
+    )
+    phase_kernels = {}
+    for a in (0, 1):
+        wy = ky[a]
+        phase_kernels[(a, 0)] = jnp.stack([wy[:, 0], wy[:, 1] + wy[:, 2]], axis=1)
+        phase_kernels[(a, 1)] = jnp.stack([wy[:, 0] + wy[:, 1], wy[:, 2]], axis=1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dn = ("NHWC", "HWIO", "NHWC")
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            y = jax.lax.conv_general_dilated(
+                xp[:, a : a + hh + 1, b : b + ww + 1, :],
+                phase_kernels[(a, b)].astype(dtype),
+                window_strides=(1, 1),
+                padding=[(0, 0), (0, 0)],
+                dimension_numbers=dn,
+            )
+            phases.append(y)
+    cout = phases[0].shape[-1]
+    y = jnp.stack(phases, axis=0).reshape(2, 2, bsz, hh, ww, cout)
+    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(bsz, 2 * hh, 2 * ww, cout)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:

@@ -29,8 +29,9 @@ dtype (bf16 on TPU) like the XLA path.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -781,6 +782,182 @@ def _shared_flash_attention_kvouter_packed(
     )(q, k_in, v_in, ref_k, ref_v, aff)
 
 
+def _pack_segment_pairs(r: jnp.ndarray, bk: int) -> jnp.ndarray:
+    """[B|I, N, H, S, d] -> [B|I, N/2, H, 2S, 2d]: block-diagonal lane packing
+    of (even, odd) segment pairs, chunk-interleaved with period 2*bk so every
+    kernel chunk of 2*bk rows holds bk rows of each half (the paired bound
+    kernels stream these as fully-wide 128-lane MXU tiles). The zeros live in
+    HBM — 2x KV bytes, no VMEM shuffles."""
+    b, n, h, s, d = r.shape
+    assert n % 2 == 0 and s % bk == 0, (n, s, bk)
+    p_pairs = n // 2
+    even = r[:, 0::2].reshape(b, p_pairs, h, s // bk, bk, d)
+    odd = r[:, 1::2].reshape(b, p_pairs, h, s // bk, bk, d)
+    z = jnp.zeros_like(even)
+    top = jnp.concatenate([even, z], axis=-1)     # [.., bk, 2d]
+    bot = jnp.concatenate([z, odd], axis=-1)
+    inter = jnp.concatenate([top, bot], axis=4)   # [.., S//bk, 2bk, 2d]
+    return inter.reshape(b, p_pairs, h, 2 * s, 2 * d)
+
+
+def _shared_kvouter_bound_paired_kernel(
+    q_ref, rk_ref, rv_ref, aff_ref, kmax_ref, o_ref,
+    acc, l_scr,
+    *, scale, block_q, block_k, seg_len, head_dim,
+):
+    """Segment-PAIRED bound-softmax kernel: full 128-lane MXU at d=64.
+
+    The plain kv_outer kernels contract QK^T over d=64 lanes and emit P@V
+    into 64 output lanes — both matmuls at half MXU width. Here each grid
+    step processes a PAIR of reference segments packed block-diagonally on
+    the lane axis (done once in XLA, zeros live in HBM — no per-chunk VMEM
+    concats like the abandoned two-head packing):
+
+        q_cat = [q | q]                      [Sq, 128]
+        K_cat chunks = [[k_even, 0],         [2*BK, 128]  (chunk-interleaved
+                        [0, k_odd]]                        at pack time)
+
+    so S_cat = q_cat K_cat^T is [BQ, 2BK] with the left BK columns scoring
+    the even segment and the right BK the odd one — every MXU pass fully
+    wide. P@V_cat accumulates the even segment into lanes :d and the odd
+    into d: of a packed accumulator; the two halves sum at the end (same
+    head, additive across segments). The softmax bound is per (b, h) like
+    _shared_kvouter_bound_kernel — identical for both halves, so a single
+    exp2 with one bound vector covers the packed scores. The denominator
+    returns to a VPU row-sum (the packed accumulator has no spare lane for
+    the ones-column trick); one reduce per score tile, small next to exp2.
+
+    AdaIN: scale rides a packed [scale_even | scale_odd] lane vector
+    (zeros in the opposite half stay zero); the shift needs the row's
+    segment, applied as where(row < BK within chunk half, shift_even-masked,
+    shift_odd-masked) built from two lane-masked vectors.
+    """
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    d = head_dim
+    sq = q_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    lanes = 2 * d
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    scale_cat = aff_ref[0, 0, 0, 0, :][None, :]          # [1, 2d] packed scales
+    shift_cat = aff_ref[0, 0, 0, 1, :][None, :]
+    shift_even = jnp.where(lane_idx < d, shift_cat, 0.0)  # [1, 2d]
+    shift_odd = jnp.where(lane_idx >= d, shift_cat, 0.0)
+    qscale = jnp.asarray(scale * LOG2E, q_ref.dtype)
+
+    def kv_body(c, _):
+        start = c * 2 * block_k
+        k_blk = rk_ref[0, 0, 0, pl.ds(start, 2 * block_k), :]
+        rv_blk = rv_ref[0, 0, 0, pl.ds(start, 2 * block_k), :].astype(jnp.float32)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (2 * block_k, 1), 0)
+        shift_blk = jnp.where(row_idx < block_k, shift_even, shift_odd)
+        v_blk = (rv_blk * scale_cat + shift_blk).astype(o_ref.dtype)
+
+        def q_body(qi, _):
+            qs = qi * block_q
+            q = q_ref[0, 0, pl.ds(qs, block_q), :] * qscale
+            # per-row bound recomputed from the (pre-scaled) q block: cheaper
+            # in VMEM than a [Sq, 128] scratch (the 64^2 layer sits right at
+            # the 16 MB scoped limit with double-buffered packed K/V blocks).
+            # q is [q | q]: the lane-sum of squares double-counts, hence 0.5.
+            qf = q.astype(jnp.float32)
+            bound = (
+                jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True) * 0.5)
+                * kmax_ref[0, 0, 0, 0]
+                - BOUND_EXP_SHIFT
+            )
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [BQ, 2BK]
+            p = jnp.exp2(s - bound)
+            l_scr[pl.ds(qs, block_q), :] = l_scr[pl.ds(qs, block_q), :] + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            acc[pl.ds(qs, block_q), :] = acc[pl.ds(qs, block_q), :] + jax.lax.dot(
+                p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+            )
+            return ()
+
+        jax.lax.fori_loop(0, sq // block_q, q_body, ())
+        return ()
+
+    jax.lax.fori_loop(0, seg_len // block_k, kv_body, ())
+
+    @pl.when(j == nj - 1)
+    def _():
+        num = acc[:, :d] + acc[:, d:]
+        o_ref[0, 0] = (num / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _shared_flash_attention_kvouter_bound_paired(
+    q, k_in, v_in, ref_k, ref_v, aff, *,
+    scale, include_input, block_q, block_k, interpret,
+):
+    """Wrapper: XLA-side block-diagonal packing of segment pairs + kernel.
+
+    Refs-only mode with an even reference count (the shipped final config +
+    serving). The zeros of the block-diagonal layout are materialized ONCE in
+    HBM per call (cheap bandwidth; ~2x DMA on K/V) so the kernel streams
+    fully-packed 128-lane tiles with no VMEM shuffles.
+    """
+    assert not include_input
+    b, h, sq, d = q.shape
+    n = ref_k.shape[1]
+    s = ref_k.shape[3]
+    assert n % 2 == 0 and d <= 64, (n, d)
+    p_pairs = n // 2
+    bq = min(block_q, sq, 256)  # [bq, 2*bk] fp32 score tile; 256 keeps the
+    bk = min(block_k, s)        # 64^2 layer under the 16 MB scoped VMEM limit
+    assert s % bk == 0 and sq % bq == 0
+
+    rk_p = _pack_segment_pairs(ref_k, bk)
+    rv_p = _pack_segment_pairs(ref_v, bk)
+    q_cat = jnp.concatenate([q, q], axis=-1)
+
+    # aff [B, H, N, 2, d] -> packed pairs [B, H, P, 2, 2d]
+    aff_pair = jnp.concatenate([aff[:, :, 0::2], aff[:, :, 1::2]], axis=-1)
+
+    rk_norm = jnp.sqrt(
+        jnp.sum(jnp.square(ref_k.astype(jnp.float32)), axis=-1)
+    ).max(axis=(1, 3))  # [B, H]
+    kmax = jnp.broadcast_to(rk_norm[:, :, None, None], (b, h, 8, 128))
+
+    kernel = functools.partial(
+        _shared_kvouter_bound_paired_kernel,
+        scale=scale, block_q=bq, block_k=bk, seg_len=s, head_dim=d,
+    )
+    vmem = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h, p_pairs),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, 2 * d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j: (b_, j, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j: (b_, j, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, 2, 2 * d), lambda b_, h_, j: (b_, h_, j, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 8, 128), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sq, 2 * d), jnp.float32),   # packed accumulator
+            pltpu.VMEM((sq, 128), jnp.float32),     # row-sum denominator
+        ],
+        # the 64^2 layer needs ~17 MB with double-buffered packed K/V blocks
+        # — just over the default 16 MB scoped budget; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(q_cat, rk_p, rv_p, aff_pair, kmax)
+    return out
+
+
 def _shared_flash_attention_kvouter(
     q, k_in, v_in, ref_k, ref_v, aff, *,
     scale, include_input, block_q, block_k, interpret,
@@ -886,7 +1063,18 @@ def shared_flash_attention(
 
     interpret = _interpret_default() if interpret is None else interpret
     if algo is None:
+        # kv_outer_bound_paired measured +40 ms/batch when packing per call
+        # (571.7 vs 532.4 ms, round 3) — only worth it with ref KV packed
+        # once at identity onboarding (serving passes packed=True below).
         algo = os.environ.get("INSTANTRESTORE_ATTN_ALGO", "kv_outer_bound")
+    if algo == "kv_outer_bound_paired":
+        if not include_input and n % 2 == 0 and d <= 64:
+            return _shared_flash_attention_kvouter_bound_paired(
+                q, k_in, v_in, ref_k, ref_v, aff,
+                scale=scale, include_input=include_input,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+        algo = "kv_outer_bound"  # pairing needs refs-only + even N
     if algo == "kv_outer_bound":
         return _shared_flash_attention_kvouter_bound(
             q, k_in, v_in, ref_k, ref_v, aff,
@@ -991,3 +1179,233 @@ def adain_affine(
     scale = style_std[:, :, None, :] / content_std
     shift = style_mean[:, :, None, :] - content_mean * scale
     return scale, shift
+
+
+# ---------------------------------------------------------------------------
+# identity-cached serving attention (scalar-prefetch KV indexing)
+# ---------------------------------------------------------------------------
+#
+# Batched serving keeps each onboarded identity's captured reference K/V in
+# an [I, ...] cache in HBM (inference/serving.py). The round-2 design
+# gathered each call's [B, ...] KV with k[identity_ids] in XLA — a multi-
+# hundred-MB HBM->HBM copy per layer per call (~16 ms/batch profiled).
+# Here the kernels index the cache DIRECTLY: identity_ids rides in as a
+# Pallas scalar-prefetch operand and the reference-KV BlockSpec index_map
+# reads ids[b] to DMA the right identity's segment block. No gather, no
+# repack — and for even reference counts the cache itself is stored in the
+# block-diagonal segment-paired layout (_pack_segment_pairs) so steady-state
+# restores stream full-128-lane MXU tiles straight out of HBM.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IdentityKVCache:
+    """One shared-attention layer's onboarded reference KV + per-segment
+    reductions (AdaIN content stats, softmax-bound key norms), computed once
+    at identity onboarding.
+
+    rk/rv: [I, N/2, H, 2S, 2d] segment-paired (paired=True) or
+           [I, N, H, S, d] raw head-split (paired=False).
+    content_mean/content_std: [I, N, H, d] fp32 AdaIN value stats
+           (std carries the +eps, matching adain_affine).
+    kmax: [I, H] fp32 max_j ||k_j|| over every reference key.
+    """
+
+    rk: jnp.ndarray
+    rv: jnp.ndarray
+    content_mean: jnp.ndarray
+    content_std: jnp.ndarray
+    kmax: jnp.ndarray
+    paired: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    block_k: int = dataclasses.field(metadata=dict(static=True), default=512)
+
+
+class IdentityRef(NamedTuple):
+    """Per-layer ref_kv entry for the identity-cached serving path: the
+    whole-cache layer plus this batch's identity row indices."""
+
+    cache: IdentityKVCache
+    ids: jnp.ndarray  # [B] int32
+
+
+def build_identity_kv_cache(
+    kv_list, *, block_k: int = 512, pack_pairs: bool = True
+):
+    """[(k, v) x layers] with [I, N, H, S, d] leaves -> [IdentityKVCache x
+    layers]. Segment pairing engages for even N at d<=64 when pack_pairs
+    (serving's fused path); the XLA fallback path needs raw layout, so
+    engines serving the unfused path pass pack_pairs=False."""
+    out = []
+    for k, v in kv_list:
+        i, n, h, s, d = k.shape
+        vf = v.astype(jnp.float32)
+        cm = vf.mean(axis=3)                                  # [I, N, H, d]
+        cs = jnp.sqrt(vf.var(axis=3, ddof=1)) + 1e-5
+        kmax = jnp.sqrt(
+            jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
+        ).max(axis=(1, 3))                                    # [I, H]
+        paired = pack_pairs and n % 2 == 0 and d <= 64
+        bk = min(block_k, s)
+        if paired:
+            rk, rv = _pack_segment_pairs(k, bk), _pack_segment_pairs(v, bk)
+        else:
+            rk, rv = k, v
+        out.append(
+            IdentityKVCache(
+                rk=rk, rv=rv, content_mean=cm, content_std=cs, kmax=kmax,
+                paired=paired, block_k=bk,
+            )
+        )
+    return out
+
+
+def adain_affine_from_stats(
+    v_in: jnp.ndarray,          # [B, H, S, d] input values (style source)
+    content_mean: jnp.ndarray,  # [B, N, H, d] gathered cache stats
+    content_std: jnp.ndarray,   # [B, N, H, d] (+eps already applied)
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """adain_affine with the reference-side reductions precomputed (identity
+    onboarding); bit-identical math to adain_affine."""
+    vf = v_in.astype(jnp.float32)
+    style_mean = vf.mean(axis=2)                       # [B, H, d]
+    style_std = jnp.sqrt(vf.var(axis=2, ddof=1)) + eps
+    cm = content_mean.transpose(0, 2, 1, 3)            # [B, H, N, d]
+    cs = content_std.transpose(0, 2, 1, 3)
+    scale = style_std[:, :, None, :] / cs
+    shift = style_mean[:, :, None, :] - cm * scale
+    return scale, shift
+
+
+def shared_attention_identity(
+    q: jnp.ndarray,     # [B, H, Sq, d]
+    k_in: jnp.ndarray,  # [B, H, S, d] input-image K (refs-only: unused math,
+    v_in: jnp.ndarray,  #               v_in is the AdaIN style source)
+    cache: IdentityKVCache,
+    ids: jnp.ndarray,   # [B] int32 identity row per sample
+    *,
+    scale: float,
+    use_adain: bool,
+    block_q: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Refs-only fused shared attention reading reference KV straight from
+    the identity cache (scalar-prefetch block indexing). Numerics identical
+    to shared_flash_attention(include_input=False) with
+    v_affine=adain_affine(v_in, ref_v[ids])."""
+    b, h, sq, d = q.shape
+    interpret = _interpret_default() if interpret is None else interpret
+    if cache.paired:
+        n = 2 * cache.rk.shape[1]
+        s = cache.rk.shape[3] // 2
+    else:
+        n = cache.rk.shape[1]
+        s = cache.rk.shape[3]
+
+    if use_adain:
+        vs, vh = adain_affine_from_stats(
+            v_in, cache.content_mean[ids], cache.content_std[ids]
+        )
+    else:
+        vs = jnp.ones((b, h, n, d), jnp.float32)
+        vh = jnp.zeros((b, h, n, d), jnp.float32)
+    aff = jnp.stack([vs, vh], axis=3)  # [B, H, N, 2, d]
+    kmax = jnp.broadcast_to(
+        cache.kmax[ids][:, :, None, None].astype(jnp.float32), (b, h, 8, 128)
+    )
+    ids = ids.astype(jnp.int32)
+    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+    if cache.paired:
+        p_pairs = n // 2
+        bq = min(block_q, sq, 256)
+        bk = cache.block_k  # pack interleave period — must match the cache
+        assert sq % bq == 0 and s % bk == 0, (sq, s, bq, bk)
+        q_cat = jnp.concatenate([q, q], axis=-1)
+        aff_pair = jnp.concatenate(
+            [aff[:, :, 0::2], aff[:, :, 1::2]], axis=-1
+        )  # [B, H, P, 2, 2d]
+        inner = functools.partial(
+            _shared_kvouter_bound_paired_kernel,
+            scale=scale, block_q=bq, block_k=bk, seg_len=s, head_dim=d,
+        )
+
+        def kernel(ids_ref, *refs):
+            inner(*refs)
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, h, p_pairs),
+                in_specs=[
+                    pl.BlockSpec((1, 1, sq, 2 * d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                    pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
+                    pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
+                    pl.BlockSpec((1, 1, 1, 2, 2 * d), lambda b_, h_, j, ids_: (b_, h_, j, 0, 0)),
+                    pl.BlockSpec((1, 1, 8, 128), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, sq, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((sq, 2 * d), jnp.float32),
+                    pltpu.VMEM((sq, 128), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=vmem_params,
+            interpret=interpret,
+        )(ids, q_cat, cache.rk, cache.rv, aff_pair, kmax)
+
+    # unpaired fallback (odd N or d>64): same bound kernel as the per-call
+    # path, reference blocks identity-indexed
+    bq = min(block_q, sq)
+    bk = cache.block_k
+    assert sq % bq == 0 and s % bk == 0, (sq, s, bq, bk)
+    kin = k_in[:, :, :8, :]
+    vin = v_in[:, :, :8, :]
+    inner = functools.partial(
+        _shared_kvouter_bound_kernel,
+        scale=scale, block_q=bq, block_k=bk, seg_len=s, include_input=False,
+    )
+
+    def kernel(ids_ref, *refs):
+        inner(*refs)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n),
+            in_specs=[
+                pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 8, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 8, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s, d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, s, d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
+                pl.BlockSpec((1, 1, 1, 2, d), lambda b_, h_, j, ids_: (b_, h_, j, 0, 0)),
+                pl.BlockSpec((1, 1, 8, 128), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, sq, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((sq, max(128, d + 1)), jnp.float32),
+                pltpu.VMEM((sq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=vmem_params,
+        interpret=interpret,
+    )(ids, q, kin, vin, cache.rk, cache.rv, aff, kmax)
+
+
+def gather_identity_kv(
+    cache: IdentityKVCache, ids: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA fallback: materialize this batch's [B, N, H, S, d] reference KV
+    from an UNPAIRED cache (engines on the unfused path onboard with
+    pack_pairs=False)."""
+    assert not cache.paired, "paired cache has no XLA gather fallback"
+    return cache.rk[ids], cache.rv[ids]

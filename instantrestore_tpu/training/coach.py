@@ -319,9 +319,14 @@ class Coach:
     def _build_steps(self):
         cfg = self.cfg
         statics = self.statics
-        need_probs = (
-            cfg.optim.lambda_landmark > 0
-            or cfg.optim.lambda_attn_reg > 0
+        # attention-loss memory plan (ROADMAP): full probabilities are
+        # materialized ONLY for the per-step landmark layer; the entropy and
+        # pos/neg regularizers consume streamed per-segment masses
+        # (attention.py::segment_softmax_sums) — this is what lets the full
+        # recipe train at batch>=2/512px on a 16 GB chip.
+        need_landmark_probs = cfg.optim.lambda_landmark > 0
+        need_seg_stats = (
+            cfg.optim.lambda_attn_reg > 0
             or cfg.optim.lambda_pos_reg > 0
             or cfg.optim.lambda_neg_reg > 0
         )
@@ -366,7 +371,11 @@ class Coach:
                     batch.get("valid_indices"),
                     rng=r_fwd,
                     statics=statics,
-                    save_attn_probs=need_probs,
+                    save_attn_probs=need_landmark_probs and landmark_layer is not None,
+                    probs_layers=(
+                        (landmark_layer,) if landmark_layer is not None else None
+                    ),
+                    save_seg_sums=need_seg_stats,
                     use_fused_attention=fused,
                     remat=remat,
                 )

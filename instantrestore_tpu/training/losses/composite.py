@@ -87,10 +87,32 @@ def attention_entropy_reg(
         if train_input:
             seg = seg[:, :, :, 1:, :]  # drop the input-image segment (:605)
         mean_act = seg.mean(axis=-1)  # [B, h, q, n_seg or n_seg-1]
-        one_hot = jax.nn.one_hot(jnp.argmax(mean_act, axis=-1), n_segments)
-        avg = one_hot.mean(axis=2)  # [B, h, n]
-        log_probs = jnp.log(avg + 1e-8)
-        regs.append(-(log_probs * (1.0 / n_segments)).sum() / b)
+        regs.append(_entropy_from_mean_act(mean_act, n_segments))
+    return sum(regs) / len(regs)
+
+
+def _entropy_from_mean_act(mean_act: jnp.ndarray, n_segments: int) -> jnp.ndarray:
+    b = mean_act.shape[0]
+    one_hot = jax.nn.one_hot(jnp.argmax(mean_act, axis=-1), n_segments)
+    avg = one_hot.mean(axis=2)  # [B, h, n]
+    log_probs = jnp.log(avg + 1e-8)
+    return -(log_probs * (1.0 / n_segments)).sum() / b
+
+
+def attention_entropy_reg_from_sums(
+    seg_sums: List[jnp.ndarray], n_segments: int = 5, train_input: bool = True
+) -> jnp.ndarray:
+    """attention_entropy_reg from streamed per-segment masses
+    ([B, h, q, n_seg] rows summing to 1, models/attention.py::
+    segment_softmax_sums) instead of full probabilities. The histogram's
+    argmax over per-segment MEANS equals the argmax over per-segment MASSES
+    (equal segment lengths), so the two paths are loss-identical while this
+    one never materializes [B, h, q, K] — the memory plan that unlocks
+    batch>=2 at 512px (ROADMAP 'attention-loss memory')."""
+    regs = []
+    for sums in seg_sums:
+        s = sums[:, :, :, 1:] if train_input else sums
+        regs.append(_entropy_from_mean_act(s, n_segments))
     return sum(regs) / len(regs)
 
 
@@ -183,12 +205,18 @@ def compute_generator_loss(
         total += lid * cfg.lambda_id_loss
 
     attn_probs = out.get("attn_probs")
+    seg_sums = out.get("attn_seg_sums")
     n_segments = 5 if train_input else 4
 
-    if cfg.lambda_attn_reg > 0 and attn_probs:
-        losses["loss_attn_reg"] = attention_entropy_reg(
-            attn_probs, n_segments, train_input=train_input
-        )
+    if cfg.lambda_attn_reg > 0 and (seg_sums or attn_probs):
+        if seg_sums:
+            losses["loss_attn_reg"] = attention_entropy_reg_from_sums(
+                seg_sums, n_segments, train_input=train_input
+            )
+        else:
+            losses["loss_attn_reg"] = attention_entropy_reg(
+                attn_probs, n_segments, train_input=train_input
+            )
         total += losses["loss_attn_reg"] * cfg.lambda_attn_reg
 
     if cfg.lambda_cycle > 0 and degrade_fn is not None:
@@ -206,9 +234,9 @@ def compute_generator_loss(
     ):
         # The chosen layer arrives as a STATIC python int (jit specializes on
         # it — shapes differ per layer anyway: 9 variants max). The target
-        # map / mask / segment index are traced operands. Like the reference
-        # (coach.py:631-640 'works for 1 batch' TODO) item 0's target is
-        # compared against the whole batch's probs at that layer.
+        # map / mask / segment index are traced operands, PER-SAMPLE (the
+        # batch>1 fix over the reference's 'works for 1 batch' TODO,
+        # coach.py:631-640).
         losses["loss_landmark"] = landmark_attention_loss(
             attn_probs[landmark_layer],
             batch["gt_attn_probs"],
@@ -217,10 +245,19 @@ def compute_generator_loss(
         )
         total += losses["loss_landmark"] * cfg.lambda_landmark
 
-    if (cfg.lambda_pos_reg > 0 or cfg.lambda_neg_reg > 0) and attn_probs:
-        q_sizes = [p.shape[2] for p in attn_probs]
-        layer_idx = jax.random.randint(rng, (), 0, len(attn_probs))
-        means = reference_usage_means(attn_probs, layer_idx, q_sizes)
+    if (cfg.lambda_pos_reg > 0 or cfg.lambda_neg_reg > 0) and (seg_sums or attn_probs):
+        if seg_sums:
+            # per-layer whole-batch segment masses from the streamed sums
+            # (identical to reference_usage_means on full probs)
+            layer_idx = jax.random.randint(rng, (), 0, len(seg_sums))
+            per_layer = jnp.stack(
+                [s.astype(jnp.float32).sum(axis=(0, 1, 2)) for s in seg_sums]
+            )
+            means = per_layer[layer_idx]
+        else:
+            q_sizes = [p.shape[2] for p in attn_probs]
+            layer_idx = jax.random.randint(rng, (), 0, len(attn_probs))
+            means = reference_usage_means(attn_probs, layer_idx, q_sizes)
         if cfg.lambda_pos_reg > 0 and "pos_reg_idx" in batch:
             idx = batch["pos_reg_idx"][0]
             valid = (idx >= 0).astype(jnp.float32)

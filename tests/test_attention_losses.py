@@ -9,6 +9,7 @@ re-derivation of the reference math (coach.py:531-560 landmark,
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from instantrestore_tpu.training.losses.composite import (
     attention_entropy_reg,
@@ -107,6 +108,67 @@ def test_entropy_reg_refs_only_uses_all_segments():
         spread[:, :, i, s * q:(s + 1) * q] = 1.0
     ls = float(attention_entropy_reg([jnp.asarray(spread)], n, train_input=False))
     assert ls < min(collapse)
+
+
+def test_segment_softmax_sums_match_probs_path():
+    """Streamed per-segment masses == segment sums of the materialized
+    softmax (values AND gradients) — the batch>=2 memory plan must be
+    loss-identical to the probs path."""
+    import jax
+    from instantrestore_tpu.models.attention import segment_softmax_sums
+
+    rng = np.random.default_rng(5)
+    b, h, q, s, d, n_seg = 2, 2, 8, 8, 4, 4
+    qv = jnp.asarray(rng.normal(size=(b, h, q, d)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(n_seg, b, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def probs_sums(qv, ks):
+        wide = jnp.concatenate([ks[i] for i in range(n_seg)], axis=2)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qv, wide) * scale
+        p = jax.nn.softmax(logits, axis=-1)
+        return p.reshape(b, h, q, n_seg, s).sum(-1)
+
+    want = probs_sums(qv, ks)
+    got = segment_softmax_sums(qv, ks, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # gradients through a pos/neg-style NLL agree
+    def loss_stream(qv, ks):
+        m = segment_softmax_sums(qv, ks, scale).sum(axis=(0, 1, 2))
+        return pos_neg_reg_loss(m, jnp.asarray(1), negative=False)
+
+    def loss_probs(qv, ks):
+        m = probs_sums(qv, ks).sum(axis=(0, 1, 2))
+        return pos_neg_reg_loss(m, jnp.asarray(1), negative=False)
+
+    g1 = jax.grad(loss_stream, argnums=(0, 1))(qv, ks)
+    g2 = jax.grad(loss_probs, argnums=(0, 1))(qv, ks)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
+
+
+def test_entropy_from_sums_matches_probs_entropy():
+    from instantrestore_tpu.training.losses.composite import (
+        attention_entropy_reg_from_sums,
+    )
+
+    rng = np.random.default_rng(6)
+    b, h, q, n = 2, 3, 8, 4
+    for train_input in (True, False):
+        n_seg = n + 1 if train_input else n
+        logits = rng.normal(size=(b, h, q, n_seg * 16)).astype(np.float32)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        sums = probs.reshape(b, h, q, n_seg, 16).sum(-1)
+        want = float(
+            attention_entropy_reg([jnp.asarray(probs)], n_seg, train_input=train_input)
+        )
+        got = float(
+            attention_entropy_reg_from_sums(
+                [jnp.asarray(sums)], n_seg, train_input=train_input
+            )
+        )
+        assert got == pytest.approx(want, abs=1e-6)
 
 
 def test_pos_neg_reg_direction():

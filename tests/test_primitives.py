@@ -116,6 +116,43 @@ def test_timestep_embedding_matches_diffusers_formula():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
 
 
+def test_upsample2x_conv_matches_materialized(rng, monkeypatch):
+    """Subpixel-decomposed upsample+conv == nearest_upsample_2x then conv2d
+    (identical math, fp32-exact), including borders and bias. The subpixel
+    path is opt-in (measured slower in-situ) so the test forces it on."""
+    monkeypatch.setattr(P, "_SUBPIXEL_UP", True)
+    x = jnp.asarray(rng.normal(size=(2, 7, 5, 4)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 6)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(6,)), jnp.float32),
+    }
+    want = P.conv2d(p, P.nearest_upsample_2x(x))
+    got = P.upsample2x_conv(p, x)
+    assert got.shape == (2, 14, 10, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # LoRA kernels take the exact factored fallback path
+    pl = dict(p)
+    pl["lora_A"] = jnp.asarray(rng.normal(size=(3, 3, 4, 2)), jnp.float32)
+    pl["lora_B"] = jnp.asarray(rng.normal(size=(1, 1, 2, 6)), jnp.float32)
+    want = P.conv2d(pl, P.nearest_upsample_2x(x), lora_scaling=0.5)
+    got = P.upsample2x_conv(pl, x, lora_scaling=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_conv_im2col_matches_native(rng, monkeypatch):
+    """Opt-in im2col 3x3 conv (tiny C_in) == native conv_general_dilated,
+    including bias and borders."""
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 3)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 3, 8)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+    }
+    want = P.conv2d(p, x)
+    monkeypatch.setattr(P, "_CONV_IM2COL", True)
+    got = P.conv2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_silu_fp32():
     x = jnp.asarray([-1.0, 0.0, 2.0])
     ref = torch.nn.functional.silu(torch.tensor([-1.0, 0.0, 2.0])).numpy()

@@ -223,3 +223,36 @@ def test_multislice_mesh_train_step():
                 l0 = float(l)
     assert float(l) < 0.5 * l0
     assert np.isfinite(np.asarray(w)).all()
+
+
+def test_identity_cache_matches_gather_path():
+    """Fused serving with the scalar-prefetch identity cache (default) must
+    produce the same restores as the round-2 per-call KV gather."""
+    params = init_restorer_params(
+        jax.random.PRNGKey(3), STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    params = serving_bundle(params, STATICS)
+    eng_new = ServingEngine(params, STATICS, use_fused_attention=True)
+    eng_old = ServingEngine(
+        params, STATICS, use_fused_attention=True, identity_cache=False
+    )
+    assert eng_new.identity_cache and not eng_old.identity_cache
+
+    refs = jax.random.randint(
+        jax.random.PRNGKey(1), (3, 4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    imgs = jax.random.randint(
+        jax.random.PRNGKey(2), (4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    ids = jnp.asarray([2, 0, 2, 1], jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    eng_new.onboard(refs)
+    eng_old.onboard(refs)
+    from instantrestore_tpu.ops.shared_attention import IdentityKVCache
+
+    assert isinstance(eng_new.kv_cache[0], IdentityKVCache)
+    out_new = np.asarray(eng_new.restore(imgs, ids, rng))
+    out_old = np.asarray(eng_old.restore(imgs, ids, rng))
+    assert np.isfinite(out_new).all()
+    np.testing.assert_allclose(out_new, out_old, atol=2e-4)

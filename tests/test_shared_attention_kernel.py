@@ -119,6 +119,69 @@ def test_packed_kvouter_matches_widen_kv_path(rng, include_input, use_adain):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize("use_adain", [True, False])
+@pytest.mark.parametrize("h", [3, 2])  # odd head count: pairing is per-SEGMENT
+def test_paired_kvouter_matches_widen_kv_path(rng, use_adain, h):
+    """Segment-paired bound kernel (serving default): block-diagonal packed
+    pairs of reference segments — full-width MXU at d=64 — must match the
+    XLA widened path exactly like the other algos (refs-only mode)."""
+    b, s, d, n = 2, 32, 8, 4
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+    wk, wv = widen_kv(k_in, v_in, rk, rv, use_adain=use_adain, train_input=False)
+    ref = _xla_attention(q, wk, wv, scale)
+    affine = adain_affine(v_in, rv) if use_adain else None
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=scale, v_affine=affine,
+        include_input=False, block_q=16, block_k=16, interpret=True,
+        algo="kv_outer_bound_paired",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_paired_kvouter_zeroed_segment(rng):
+    """Asymmetric pair (one zeroed reference in a pair) keeps the reference's
+    zeroed-KV semantics through the packed layout."""
+    b, h, s, d, n = 1, 1, 16, 8, 4
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.zeros((b, h, s, d), jnp.float32)
+    v_in = jnp.zeros((b, h, s, d), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rk = rk.at[:, 1].set(0.0)  # zero the odd member of the first pair
+    rv = rv.at[:, 1].set(0.0)
+    out = shared_flash_attention(
+        q, k_in, v_in, rk, rv, scale=d ** -0.5, include_input=False,
+        block_q=16, block_k=16, interpret=True, algo="kv_outer_bound_paired",
+    )
+    wk, wv = widen_kv(k_in, v_in, rk, rv, train_input=False)
+    ref = _xla_attention(q, wk, wv, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_paired_dispatcher_fallback(rng):
+    """Odd reference counts / include_input fall back to kv_outer_bound."""
+    b, h, s, d, n = 1, 2, 16, 8, 3  # n odd -> unpairable
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    rv = jnp.asarray(rng.normal(size=(b, n, h, s, d)), jnp.float32)
+    for include_input in (True, False):
+        out = shared_flash_attention(
+            q, k_in, v_in, rk, rv, scale=d ** -0.5,
+            include_input=include_input, block_q=16, block_k=16,
+            interpret=True, algo="kv_outer_bound_paired",
+        )
+        wk, wv = widen_kv(k_in, v_in, rk, rv, train_input=include_input)
+        ref = _xla_attention(q, wk, wv, d ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("d", [8, 256])
 def test_flash_bound_matches_xla(rng, d):
     """Plain flash with the precomputed softmax bound (serving default) —
@@ -163,3 +226,57 @@ def test_bound_kernels_large_activation_norms(rng):
                            block_q=32, block_k=32, interpret=True, algo="bound")
     assert np.isfinite(np.asarray(out2)).all()
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=5e-4)
+
+
+@pytest.mark.parametrize("use_adain", [True, False])
+@pytest.mark.parametrize("n", [4, 3])  # even -> paired cache, odd -> unpaired
+def test_identity_cache_matches_widen_kv_path(rng, use_adain, n):
+    """Scalar-prefetch identity-cache kernels (serving steady state): KV
+    streamed straight from the [I, ...] cache by identity id — must equal the
+    XLA widened path on the gathered KV, paired and unpaired layouts."""
+    from instantrestore_tpu.ops.shared_attention import (
+        build_identity_kv_cache,
+        shared_attention_identity,
+    )
+
+    b, i_ident, h, s, d = 3, 4, 2, 32, 8
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk_all = jnp.asarray(rng.normal(size=(i_ident, n, h, s, d)), jnp.float32)
+    rv_all = jnp.asarray(rng.normal(size=(i_ident, n, h, s, d)), jnp.float32)
+    ids = jnp.asarray([2, 0, 2], jnp.int32)  # repeats exercise the indexing
+    scale = d ** -0.5
+
+    (cache,) = build_identity_kv_cache([(rk_all, rv_all)], block_k=16)
+    assert cache.paired == (n % 2 == 0)
+    out = shared_attention_identity(
+        q, k_in, v_in, cache, ids,
+        scale=scale, use_adain=use_adain, block_q=16, interpret=True,
+    )
+
+    rk, rv = rk_all[ids], rv_all[ids]
+    wk, wv = widen_kv(k_in, v_in, rk, rv, use_adain=use_adain, train_input=False)
+    ref = _xla_attention(q, wk, wv, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_identity_cache_stats_match_adain_affine(rng):
+    """Cached content stats reproduce adain_affine bit-for-bit."""
+    from instantrestore_tpu.ops.shared_attention import (
+        adain_affine_from_stats,
+        build_identity_kv_cache,
+    )
+
+    b, i_ident, n, h, s, d = 2, 3, 3, 2, 16, 8
+    v_in = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    rk_all = jnp.asarray(rng.normal(size=(i_ident, n, h, s, d)), jnp.float32)
+    rv_all = jnp.asarray(rng.normal(size=(i_ident, n, h, s, d)), jnp.float32)
+    ids = jnp.asarray([1, 2], jnp.int32)
+    (cache,) = build_identity_kv_cache([(rk_all, rv_all)], block_k=16)
+    got_s, got_h = adain_affine_from_stats(
+        v_in, cache.content_mean[ids], cache.content_std[ids]
+    )
+    want_s, want_h = adain_affine(v_in, rv_all[ids])
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=1e-6)
