@@ -93,6 +93,11 @@ class ServingEngine:
                 params["unet"] = quantize_unet_int8(
                     merge_lora(params["unet"], statics.unet_lora_scaling)
                 )
+            # unique per-conv slots so calibrate_int8() can bake static
+            # activation scales (ops/primitives.py int8 calibration block)
+            from instantrestore_tpu.ops.primitives import assign_calib_slots
+
+            params = assign_calib_slots(params)
         self.params = params
         self.statics = statics
         self.timestep = timestep
@@ -154,8 +159,7 @@ class ServingEngine:
                 kv = build_identity_kv_cache(kv, pack_pairs=use_fused_attention)
             return kv
 
-        @functools.partial(jax.jit, static_argnames=("fused",))
-        def _restore(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
+        def _restore_impl(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
             images = _maybe_preprocess(images, resolution)
             if identity_cache:
                 from instantrestore_tpu.ops.shared_attention import IdentityRef
@@ -197,7 +201,8 @@ class ServingEngine:
             return out["output_image"]
 
         self._onboard = _onboard
-        self._restore = _restore
+        self._restore_impl = _restore_impl
+        self._restore = jax.jit(_restore_impl, static_argnames=("fused",))
         self._restore_cold = _restore_cold
 
     def onboard(self, identity_refs: jnp.ndarray, rng: Optional[jax.Array] = None):
@@ -212,6 +217,46 @@ class ServingEngine:
         if self.kv_cache is None:
             raise RuntimeError("call onboard() first")
         return self._restore(self.params, images, self.kv_cache, identity_ids, rng)
+
+    def calibrate_int8(self, batches, *, margin: float = 1.05) -> int:
+        """Bake static int8 activation scales from representative batches.
+
+        ``batches``: iterable of ``(images, identity_ids, rng)`` tuples. Runs
+        the restore forward over each with the dynamic-int8 path recording
+        every conv's observed activation scale, max-merges across batches,
+        then rewrites ``self.params`` with static per-conv ``a_scale`` leaves
+        (plus `margin` clipping headroom). Subsequent restore() calls trace
+        the static branch — no abs-max reduction per conv (the reduction is
+        why dynamic int8 measured as a regression on the UNet, ROADMAP #4).
+        Returns the number of calibrated convs."""
+        from instantrestore_tpu.ops.primitives import (
+            apply_int8_calibration,
+            with_int8_records,
+        )
+
+        if self.kv_cache is None:
+            raise RuntimeError("call onboard() first")
+        recorded = jax.jit(
+            with_int8_records(self._restore_impl), static_argnames=("fused",)
+        )
+        all_slots, all_scales = [], []
+        for images, identity_ids, rng in batches:
+            _, (slots, scales) = recorded(
+                self.params, images, self.kv_cache, identity_ids, rng
+            )
+            slots, scales = jax.device_get((slots, scales))
+            all_slots.append(slots)
+            all_scales.append(scales)
+        import numpy as np
+
+        slots = np.concatenate(all_slots) if all_slots else np.zeros(0, np.int32)
+        scales = (
+            np.concatenate(all_scales) if all_scales else np.zeros(0, np.float32)
+        )
+        self.params = apply_int8_calibration(
+            self.params, slots, scales, margin=margin
+        )
+        return int(np.unique(slots).shape[0])
 
     def restore_cold(
         self, images: jnp.ndarray, cond_images: jnp.ndarray, rng: jax.Array

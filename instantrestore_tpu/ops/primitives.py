@@ -34,6 +34,13 @@ import numpy as np
 _CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
 _SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0") == "1"
 
+# int8 calibration side-channel: while a `with_int8_records`-wrapped forward
+# is being TRACED, conv2d's dynamic-int8 branch appends (calib_slot, observed
+# activation scale) here; the wrapper returns them as extra outputs so one
+# jitted execution yields concrete per-conv scales (see
+# apply_int8_calibration).
+_INT8_CALIB_RECORDS = None
+
 # ---------------------------------------------------------------------------
 # dense / conv with optional LoRA
 # ---------------------------------------------------------------------------
@@ -121,16 +128,29 @@ def conv2d(
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(padding, padding), (padding, padding)]
     if "kernel_int8" in p:
-        # opt-in int8 x int8 conv (quantize_conv_int8): dynamic per-tensor
-        # activation scale + static per-out-channel weight scale; hits the
-        # MXU's 2x int8 rate on v5e. NOT parity-exact — serving-only, off by
-        # default (breaks the <1e-2 reference-parity gate by design).
+        # opt-in int8 x int8 conv (quantize_conv_int8): activation scale +
+        # static per-out-channel weight scale; hits the MXU's 2x int8 rate on
+        # v5e. NOT parity-exact — serving-only, off by default (breaks the
+        # <1e-2 reference-parity gate by design).
         xf = x.astype(jnp.float32)
-        # per-SAMPLE activation scale: co-batched images must not affect each
-        # other's quantization grid (reproducibility across batch makeup)
-        a_scale = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
-        )
+        if "a_scale" in p:
+            # CALIBRATED static scale (apply_int8_calibration): the quantize
+            # chain is pure elementwise — no abs-max reduction pass — so XLA
+            # fuses it into the producing GroupNorm/SiLU epilogue. This is
+            # what makes int8 a net win at serving batch sizes (the dynamic
+            # per-call reduction measured as a regression on the UNet,
+            # ROADMAP round-2 #4). Out-of-calibration activations clip.
+            a_scale = p["a_scale"].astype(jnp.float32)
+        else:
+            # DYNAMIC per-SAMPLE activation scale: co-batched images must not
+            # affect each other's quantization grid (reproducibility across
+            # batch makeup)
+            a_scale = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0,
+                1e-12,
+            )
+            if _INT8_CALIB_RECORDS is not None and "calib_slot" in p:
+                _INT8_CALIB_RECORDS.append((p["calib_slot"], jnp.max(a_scale)))
         x8 = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x8,
@@ -209,6 +229,105 @@ def quantize_block_convs_int8(bp: dict) -> dict:
                 {**s, "conv": quantize_conv_int8(s["conv"])} for s in nb[samplers]
             ]
     return nb
+
+
+# ---------------------------------------------------------------------------
+# int8 static-scale calibration (VERDICT r2 #9 / ROADMAP #4)
+#
+# The dynamic int8 path pays an abs-max reduction + a dependent quantize pass
+# over every conv input — measured as a net REGRESSION on the UNet at serving
+# sizes. Calibration replaces it with a static per-conv activation scale
+# observed on representative batches, making the quantize chain pure
+# elementwise (fused by XLA into the GN/SiLU producer). Flow:
+#
+#     q = quantize_unet_int8(merge_lora(params, s))      # int8 weights
+#     q = assign_calib_slots(q)                          # unique slot ids
+#     fn = with_int8_records(forward)                    # jit-able wrapper
+#     (_, (slots, scales)) = jax.jit(fn)(q, batch, ...)  # observe scales
+#     q = apply_int8_calibration(q, slots, scales)       # bake static a_scale
+# ---------------------------------------------------------------------------
+
+
+def _map_int8_convs(tree, fn):
+    """Rebuild `tree` applying `fn` to every dict that holds an int8 conv
+    (post-order, functional — shared dict objects are not mutated)."""
+    if isinstance(tree, dict):
+        new = {k: _map_int8_convs(v, fn) for k, v in tree.items()}
+        return fn(new) if "kernel_int8" in new else new
+    if isinstance(tree, (list, tuple)):
+        t = type(tree)
+        return t(_map_int8_convs(v, fn) for v in tree)
+    return tree
+
+
+def assign_calib_slots(tree):
+    """Give every int8-quantized conv dict a unique ``calib_slot`` int32 leaf
+    (deterministic tree-walk order). Slots key the observed-scale records back
+    to their convs — trace order and tree order need not agree."""
+    counter = [0]
+
+    def tag(p):
+        p = dict(p)
+        p["calib_slot"] = jnp.int32(counter[0])
+        counter[0] += 1
+        return p
+
+    return _map_int8_convs(tree, tag)
+
+
+def with_int8_records(fn):
+    """Wrap a forward so one (jitted) call also returns the int8 calibration
+    records: ``wrapped(*a, **k) -> (fn_out, (slots [R], scales [R]))``.
+
+    Recording happens while `fn` is traced; the records are returned as
+    outputs, so executions yield concrete per-conv observed scales. Convs
+    whose params already carry a static ``a_scale`` are not recorded."""
+
+    def wrapped(*args, **kwargs):
+        global _INT8_CALIB_RECORDS
+        prev = _INT8_CALIB_RECORDS
+        _INT8_CALIB_RECORDS = []
+        try:
+            out = fn(*args, **kwargs)
+            recs = _INT8_CALIB_RECORDS
+        finally:
+            _INT8_CALIB_RECORDS = prev
+        if recs:
+            slots = jnp.stack([jnp.asarray(s, jnp.int32) for s, _ in recs])
+            scales = jnp.stack([v.astype(jnp.float32) for _, v in recs])
+        else:
+            slots = jnp.zeros((0,), jnp.int32)
+            scales = jnp.zeros((0,), jnp.float32)
+        return out, (slots, scales)
+
+    return wrapped
+
+
+def apply_int8_calibration(tree, slots, scales, *, margin: float = 1.0):
+    """Bake observed activation scales into the quantized tree as static
+    per-conv ``a_scale`` leaves (consumed by conv2d's static int8 branch).
+
+    slots/scales: concatenation of the record outputs from one or more
+    `with_int8_records` executions (calibration batches); a conv observed
+    multiple times keeps its max. `margin` > 1 leaves clipping headroom for
+    activations beyond the calibration set. Convs with no observation keep
+    the dynamic path (their `calib_slot` is kept so a later pass can still
+    calibrate them)."""
+    slots = np.asarray(slots)
+    scales = np.asarray(scales, np.float32)
+    by_slot = {}
+    for s, v in zip(slots.tolist(), scales.tolist()):
+        by_slot[s] = max(by_slot.get(s, 0.0), float(v))
+
+    def bake(p):
+        slot = p.get("calib_slot")
+        if slot is None or int(slot) not in by_slot:
+            return p
+        p = {k: v for k, v in p.items() if k != "calib_slot"}
+        p["a_scale"] = jnp.float32(max(by_slot[int(slot)] * margin, 1e-12))
+        return p
+
+    return _map_int8_convs(tree, bake)
 
 
 # ---------------------------------------------------------------------------
