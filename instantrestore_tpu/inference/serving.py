@@ -200,15 +200,70 @@ class ServingEngine:
             )
             return out["output_image"]
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _scatter_cache(cache, new, slot):
+            # write identity `slot` in place (donated: no second cache copy
+            # in HBM — the cache is the engine's largest buffer). `slot` is
+            # traced, so one compile covers every row.
+            def upd(cur, one):
+                return cur.at[slot].set(one[0])
+
+            out = []
+            for cur, one in zip(cache, new):
+                if hasattr(cur, "rk"):  # IdentityKVCache layer (dataclass)
+                    out.append(
+                        dataclasses.replace(
+                            cur,
+                            rk=upd(cur.rk, one.rk),
+                            rv=upd(cur.rv, one.rv),
+                            content_mean=upd(cur.content_mean, one.content_mean),
+                            content_std=upd(cur.content_std, one.content_std),
+                            kmax=upd(cur.kmax, one.kmax),
+                        )
+                    )
+                else:  # plain (k, v) layer
+                    k, v = cur
+                    nk, nv = one
+                    out.append((upd(k, nk), upd(v, nv)))
+            return out
+
         self._onboard = _onboard
+        self._scatter_cache = _scatter_cache
         self._restore_impl = _restore_impl
         self._restore = jax.jit(_restore_impl, static_argnames=("fused",))
         self._restore_cold = _restore_cold
 
     def onboard(self, identity_refs: jnp.ndarray, rng: Optional[jax.Array] = None):
-        """identity_refs [I, N, H, W, 3] in [-1,1] -> warm KV cache."""
+        """identity_refs [I, N, H, W, 3] in [-1,1] -> warm KV cache.
+
+        I fixes the cache capacity (static shapes); pad with placeholder
+        identities to over-provision, then fill rows later via
+        ``onboard_one``."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.kv_cache = self._onboard(self.params, identity_refs, rng)
+        return self.kv_cache
+
+    def onboard_one(
+        self,
+        identity_refs: jnp.ndarray,
+        slot,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Onboard or replace ONE identity into row ``slot`` of the warm
+        cache (production identity churn: no re-encode of the other I-1
+        identities, no cache reallocation — a donated in-place scatter).
+
+        identity_refs: [N, H, W, 3] (or [1, N, H, W, 3]) in [-1,1] or uint8.
+        In-flight restores of other identities are unaffected; restores of
+        ``slot`` use the new references from the next call on."""
+        if self.kv_cache is None:
+            raise RuntimeError("call onboard() first")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        refs = identity_refs if identity_refs.ndim == 5 else identity_refs[None]
+        new = self._onboard(self.params, refs, rng)
+        self.kv_cache = self._scatter_cache(
+            self.kv_cache, new, jnp.asarray(slot, jnp.int32)
+        )
         return self.kv_cache
 
     def restore(

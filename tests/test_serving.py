@@ -256,3 +256,63 @@ def test_identity_cache_matches_gather_path():
     out_old = np.asarray(eng_old.restore(imgs, ids, rng))
     assert np.isfinite(out_new).all()
     np.testing.assert_allclose(out_new, out_old, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_cache", [True, False])
+def test_onboard_one_incremental(use_cache):
+    """Identity churn: onboard_one must write exactly one cache row —
+    the scattered row matches a fresh single-identity onboard with the same
+    rng, other rows are untouched, and restores pick up the replacement."""
+    params = init_restorer_params(
+        jax.random.PRNGKey(3), STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    params = serving_bundle(params, STATICS)
+    eng = ServingEngine(
+        params, STATICS, use_fused_attention=True, identity_cache=use_cache
+    )
+
+    refs = jax.random.randint(
+        jax.random.PRNGKey(1), (3, 4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    imgs = jax.random.randint(
+        jax.random.PRNGKey(2), (2, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    rng = jax.random.PRNGKey(7)
+    eng.onboard(refs)
+    before = jax.tree_util.tree_map(np.asarray, eng.kv_cache)
+    out_before = np.asarray(
+        eng.restore(imgs, jnp.asarray([1, 1], jnp.int32), rng)
+    )
+
+    new_refs = jax.random.randint(
+        jax.random.PRNGKey(11), (4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    one_rng = jax.random.PRNGKey(13)
+    expected_row = eng._onboard(eng.params, new_refs[None], one_rng)
+    eng.onboard_one(new_refs, slot=1, rng=one_rng)
+
+    after_leaves = jax.tree_util.tree_leaves(eng.kv_cache)
+    before_leaves = jax.tree_util.tree_leaves(before)
+    exp_leaves = jax.tree_util.tree_leaves(expected_row)
+    for b, a, e in zip(before_leaves, after_leaves, exp_leaves):
+        a = np.asarray(a)
+        if not hasattr(b, "shape") or np.ndim(b) == 0:
+            continue
+        np.testing.assert_array_equal(a[0], np.asarray(b)[0])  # slot 0 kept
+        np.testing.assert_array_equal(a[2], np.asarray(b)[2])  # slot 2 kept
+        np.testing.assert_array_equal(a[1], np.asarray(e)[0])  # slot 1 == fresh
+
+    out_after = np.asarray(
+        eng.restore(imgs, jnp.asarray([1, 1], jnp.int32), rng)
+    )
+    assert np.isfinite(out_after).all()
+    assert not np.allclose(out_before, out_after)  # new identity is live
+    # untouched identity restores identically
+    out0 = np.asarray(eng.restore(imgs, jnp.asarray([0, 0], jnp.int32), rng))
+    eng2 = ServingEngine(
+        params, STATICS, use_fused_attention=True, identity_cache=use_cache
+    )
+    eng2.onboard(refs)
+    out0_ref = np.asarray(eng2.restore(imgs, jnp.asarray([0, 0], jnp.int32), rng))
+    np.testing.assert_allclose(out0, out0_ref, atol=1e-5)
