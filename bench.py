@@ -135,6 +135,13 @@ def main():
         and os.environ.get("BENCH_INT8_EXTRA", "1") == "1"
     ):
         try:
+            import numpy as np
+
+            # fp output for the same (images, ids, rng): quantifies the int8
+            # parity cost as a PSNR next to the throughput claim
+            fp_out = np.asarray(
+                eng.restore(images, ids, jax.random.PRNGKey(3)).astype(jnp.float32)
+            )
             del out, cold
             eng = None  # drop the fp engine's jit caches before rebuilding
             eng8 = ServingEngine(
@@ -153,6 +160,12 @@ def main():
             int8_s = (time.perf_counter() - t0) / iters
             extras["int8_static_faces_per_sec"] = round(batch / int8_s, 2)
             extras["int8_static_batch_latency_ms"] = round(int8_s * 1e3, 2)
+            q_out = np.asarray(
+                eng8.restore(images, ids, jax.random.PRNGKey(3)).astype(jnp.float32)
+            )
+            mse = float(np.mean((q_out - fp_out) ** 2))
+            # outputs live in [-1, 1]: peak-to-peak 2 -> MAX^2 = 4
+            extras["int8_vs_fp_psnr_db"] = round(10 * np.log10(4.0 / max(mse, 1e-12)), 1)
         except Exception as e:  # headline survives any int8-path failure
             extras["int8_static_error"] = f"{type(e).__name__}: {e}"[:200]
 

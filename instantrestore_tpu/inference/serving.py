@@ -105,9 +105,12 @@ class ServingEngine:
             # the scalar-prefetch identity kernels replace the per-call KV
             # gather (~16 ms/batch at 512px) — default on for the fused path;
             # the unfused path keeps the round-2 gather so eng.kv_cache stays
-            # a plain [(k, v) x layers] list for callers that poke at it
+            # a plain [(k, v) x layers] list for callers that poke at it.
+            # train_input models attend to the input image's own KV, which
+            # the refs-only identity cache doesn't model — auto-fallback.
             identity_cache = (
                 use_fused_attention
+                and not statics.train_input
                 and os.environ.get("INSTANTRESTORE_IDENT_CACHE", "1") == "1"
             )
         self.identity_cache = identity_cache
