@@ -44,3 +44,7 @@ def serve() -> int:
 
 def parity() -> int:
     return _run("parity.py")
+
+
+def evaluate() -> int:
+    return _run("evaluate.py")

@@ -59,11 +59,15 @@ def _ssim_terms(x, y, win, data_range, k1=0.01, k2=0.03):
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray, *, data_range: float = 1.0,
-         win_size: int = 11, win_sigma: float = 1.5) -> jnp.ndarray:
-    """Per-batch-mean SSIM over NHWC images. Returns scalar."""
+         win_size: int = 11, win_sigma: float = 1.5,
+         reduce: bool = True) -> jnp.ndarray:
+    """SSIM over NHWC images: batch-mean scalar, or per-sample [B] with
+    ``reduce=False`` (evaluation reports per-image rows)."""
     win = _gaussian_window(win_size, win_sigma)
     s, _ = _ssim_terms(x.astype(jnp.float32), y.astype(jnp.float32), win, data_range)
-    return s.mean()
+    if reduce:
+        return s.mean()
+    return s.mean(axis=tuple(range(1, s.ndim)))
 
 
 def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, *, data_range: float = 1.0,
