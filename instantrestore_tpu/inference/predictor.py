@@ -288,4 +288,13 @@ def load_predictor_params(
     from instantrestore_tpu.training.checkpoints import load_checkpoint
 
     loaded = load_checkpoint(str(path))
+    if statics is None:
+        # native checkpoints round-trip their TrainConfig through meta.json
+        # (save_checkpoint cfg=…) — decode model statics from it exactly like
+        # the FULL .pt path decodes the embedded pyrallis cfg
+        from instantrestore_tpu.configs.config import ModelConfig, _decode_section
+
+        cfg_dict = loaded["meta"].get("cfg") or {}
+        model_cfg = _decode_section(ModelConfig, cfg_dict.get("model", {}))
+        statics = RestorerStatics.from_model_config(model_cfg)
     return loaded["state"]["params"], statics

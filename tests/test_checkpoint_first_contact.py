@@ -262,3 +262,32 @@ def test_lora_only_env_var_base(lora_setup, images, monkeypatch):
         resolution=64, deterministic=True,
     )
     _predict(pred, images)
+
+
+def test_native_orbax_checkpoint_decodes_statics(tmp_path):
+    """Predictor's orbax branch derives model statics from the checkpoint's
+    saved TrainConfig (meta.json) when the caller passes none — closing the
+    train->serve loop for native checkpoints, not just reference .pt files."""
+    from instantrestore_tpu.configs.config import TrainConfig
+    from instantrestore_tpu.inference.predictor import load_predictor_params
+    from instantrestore_tpu.training import checkpoints as ckpt_mod
+
+    cfg = TrainConfig()
+    cfg.model.use_adain = True
+    cfg.model.train_input = False
+    cfg.model.lora_rank_unet = 8  # alpha = rank//2 -> scaling 0.5
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    out = tmp_path / "ckpt"
+    ckpt_mod.save_checkpoint(out, {"params": params}, cfg=cfg, step=7)
+
+    loaded, statics = load_predictor_params(str(out), None)
+    assert statics.use_adain is True
+    assert statics.train_input is False
+    assert statics.unet_lora_scaling == 0.5
+    assert set(loaded) == set(params)
+
+    # explicit statics still win (tiny-architecture serving/test flows)
+    _, statics2 = load_predictor_params(str(out), STATICS)
+    assert statics2 is STATICS
