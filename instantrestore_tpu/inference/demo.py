@@ -46,9 +46,17 @@ def degrade_image(gt_img: Image.Image, deg_level: float, seed: int = 0) -> Image
 
 
 class Demo:
-    def __init__(self, data_root: str, models: Optional[Dict[str, str]] = None):
+    def __init__(
+        self,
+        data_root: str,
+        models: Optional[Dict[str, str]] = None,
+        predictor_kwargs: Optional[Dict] = None,
+    ):
         self.data_root = Path(data_root)
         self.models = models or DEFAULT_MODELS
+        # forwarded to Predictor(...) on every model switch: statics override
+        # for reduced-size checkpoints (tests), tokenizer_dir, dtype, ...
+        self.predictor_kwargs = predictor_kwargs or {}
         self.identities = sorted(
             p.name for p in self.data_root.glob("*")
             if p.is_dir() and (p / "degraded.png").exists()
@@ -58,7 +66,7 @@ class Demo:
 
     def select_model(self, name: str):
         if name != self._current_model:
-            self._predictor = Predictor(self.models[name])
+            self._predictor = Predictor(self.models[name], **self.predictor_kwargs)
             self._current_model = name
 
     def load_identity(self, identity: str):
