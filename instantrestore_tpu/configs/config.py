@@ -149,6 +149,11 @@ class LogConfig:
     log2wandb: bool = True  # selects tensorboard, matching the reference
     val_vis_count: int = 50
     vis_attention: bool = True
+    # TPU-native extension: resume a run from a Coach.save(full=True)
+    # checkpoint directory (params + optimizer states + step counter +
+    # best-val tracker). The reference stores optimizer state in its .pt
+    # (coach.py:712-718) but ships no resume path at all.
+    resume_from: Optional[str] = None
 
     @property
     def exp_dir(self) -> Path:

@@ -23,7 +23,13 @@ import orbax.checkpoint as ocp
 from instantrestore_tpu.configs.config import encode_config
 
 
-def save_checkpoint(path, payload: Dict[str, Any], cfg=None, step: Optional[int] = None):
+def save_checkpoint(
+    path,
+    payload: Dict[str, Any],
+    cfg=None,
+    step: Optional[int] = None,
+    extra_meta: Optional[Dict[str, Any]] = None,
+):
     path = Path(path).absolute()
     path.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
@@ -32,6 +38,8 @@ def save_checkpoint(path, payload: Dict[str, Any], cfg=None, step: Optional[int]
     meta = {"step": step}
     if cfg is not None:
         meta["cfg"] = encode_config(cfg)
+    if extra_meta:
+        meta.update(extra_meta)
     (path / "meta.json").write_text(json.dumps(meta))
 
 

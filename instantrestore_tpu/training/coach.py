@@ -19,6 +19,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
+import json
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -260,6 +261,9 @@ class Coach:
         )
 
         self._build_steps()
+
+        if cfg.log.resume_from:
+            self.restore(cfg.log.resume_from)
 
     # ------------------------------------------------------------------
 
@@ -699,7 +703,8 @@ class Coach:
         if crossed(cfg.steps.val_interval):
             self.validate()
         if crossed(cfg.steps.save_interval):
-            self.save(tag=f"step_{self.train_step_num}")
+            # interval checkpoints are for crash recovery: full trainer state
+            self.save(tag=f"step_{self.train_step_num}", full=True)
 
     def validate(self):
         """Full-val-set evaluation (reference coach.py:343-392): losses are
@@ -805,10 +810,55 @@ class Coach:
                 abs(float(jax.device_get(sim_det)) - sim_ds)
             )
 
-    def save(self, tag: str):
+    def save(self, tag: str, full: bool = False):
+        """Write an orbax checkpoint: weights-only (the deployable artifact)
+        or, with ``full=True``, the resumable trainer state — params +
+        optimizer states + step counter + best-val tracker. The reference
+        stores its AdamW state in every .pt (coach.py:712-718); here the
+        full/weights split keeps serving artifacts small."""
         out = Path(self.cfg.log.exp_dir) / "checkpoints" / tag
         payload = {"params": jax.device_get(self.params)}
         if self.disc_heads is not None:
             payload["disc_heads"] = jax.device_get(self.disc_heads)
-        ckpt_mod.save_checkpoint(out, payload, cfg=self.cfg, step=self.train_step_num)
+        if full:
+            payload["g_opt_state"] = jax.device_get(self.g_opt_state)
+            if self.disc_heads is not None:
+                payload["d_opt_state"] = jax.device_get(self.d_opt_state)
+        ckpt_mod.save_checkpoint(
+            out, payload, cfg=self.cfg, step=self.train_step_num,
+            extra_meta={"full": full, "best_val_loss": self.best_val_loss},
+        )
         self.logger.log_message(f"saved checkpoint {out}")
+
+    def restore(self, path):
+        """Resume trainer state from a ``save(...)`` checkpoint directory.
+
+        Live pytrees are passed as the orbax restore template so optax
+        states come back with their original structure (NamedTuples, not
+        raw dicts); everything is re-replicated onto the mesh. Weights-only
+        checkpoints restore params (+ disc heads) and the step counter;
+        full ones also restore both optimizer states."""
+        meta_file = Path(path) / "meta.json"
+        meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        full = bool(meta.get("full", False))
+        template = {"params": jax.device_get(self.params)}
+        if self.disc_heads is not None:
+            template["disc_heads"] = jax.device_get(self.disc_heads)
+        if full:
+            template["g_opt_state"] = jax.device_get(self.g_opt_state)
+            if self.disc_heads is not None:
+                template["d_opt_state"] = jax.device_get(self.d_opt_state)
+        state = ckpt_mod.load_checkpoint(path, template)["state"]
+        self.params = replicate_params(self.mesh, state["params"])
+        if self.disc_heads is not None and "disc_heads" in state:
+            self.disc_heads = replicate_params(self.mesh, state["disc_heads"])
+        if full:
+            self.g_opt_state = replicate_params(self.mesh, state["g_opt_state"])
+            if self.disc_heads is not None and "d_opt_state" in state:
+                self.d_opt_state = replicate_params(self.mesh, state["d_opt_state"])
+        self.train_step_num = int(meta.get("step") or 0)
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        self.logger.log_message(
+            f"resumed from {path} at step {self.train_step_num}"
+            f" ({'full' if full else 'weights-only'})"
+        )

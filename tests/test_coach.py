@@ -283,3 +283,82 @@ def test_overfit_loss_decreases(data_root, tmp_path):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.9, losses
+
+
+def test_coach_save_full_and_resume(data_root, tmp_path):
+    """Crash-recovery loop: train 2 steps -> save(full=True) -> fresh Coach
+    with log.resume_from -> identical params AND optimizer state restored,
+    step counter continues, further training moves weights again."""
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+    import jax
+
+    train_root, val_root = data_root
+    cfg = TrainConfig()
+    cfg.compute.batch_size = 1
+    cfg.compute.workers = 0
+    cfg.data.data_root = str(train_root)
+    cfg.data.val_data_root = str(val_root)
+    cfg.data.dataset_type = "face_restore"
+    cfg.data.resolution = 64
+    cfg.data.overfit = True
+    cfg.log.exp_root = str(tmp_path)
+    cfg.log.exp_name = "resume_a"
+    cfg.log.log2wandb = False
+    cfg.steps.max_steps = 2
+    cfg.steps.metric_interval = 100
+    cfg.steps.image_interval = 100
+    cfg.steps.val_interval = 100
+    cfg.steps.save_interval = 100
+    cfg.optim.lambda_lpips = 0.0
+    cfg.optim.lambda_ssim = 0.0
+    cfg.optim.lambda_gan = 0.5  # disc heads + d_opt_state in the checkpoint
+    cfg.optim.gradient_accumulation_steps = 1
+    cfg.model.lora_rank_unet = 4
+    cfg.model.lora_rank_vae = 4
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach = Coach(cfg, statics=TINY_STATICS, params=params, vit_cfg=TINY_VIT)
+    coach.train()
+    assert coach.train_step_num == 2
+    coach.save("resumable", full=True)
+    ckpt = cfg.log.exp_dir / "checkpoints" / "resumable"
+
+    saved_lora = np.asarray(jax.device_get(
+        coach.params["unet"]["up_blocks"][1]["attentions"][0]
+        ["transformer_blocks"][0]["attn1"]["to_q"]["lora_B"]))
+    saved_opt = jax.device_get(coach.g_opt_state)
+
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.log.exp_name = "resume_b"
+    cfg2.log.resume_from = str(ckpt)
+    cfg2.steps.max_steps = 4
+    params2 = init_restorer_params(
+        jax.random.PRNGKey(123), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params2["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach2 = Coach(cfg2, statics=TINY_STATICS, params=params2, vit_cfg=TINY_VIT)
+
+    assert coach2.train_step_num == 2  # counter restored
+    got_lora = np.asarray(jax.device_get(
+        coach2.params["unet"]["up_blocks"][1]["attentions"][0]
+        ["transformer_blocks"][0]["attn1"]["to_q"]["lora_B"]))
+    np.testing.assert_array_equal(got_lora, saved_lora)
+    # optimizer state (incl. adam moments) restored exactly, same structure
+    flat_a, tree_a = jax.tree_util.tree_flatten(saved_opt)
+    flat_b, tree_b = jax.tree_util.tree_flatten(jax.device_get(coach2.g_opt_state))
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    coach2.train()  # 2 more steps from the restored state
+    assert coach2.train_step_num == 4
+    moved = np.asarray(jax.device_get(
+        coach2.params["unet"]["up_blocks"][1]["attentions"][0]
+        ["transformer_blocks"][0]["attn1"]["to_q"]["lora_B"]))
+    assert not np.allclose(moved, saved_lora)
