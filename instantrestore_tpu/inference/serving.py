@@ -261,6 +261,17 @@ class ServingEngine:
         ``slot`` use the new references from the next call on."""
         if self.kv_cache is None:
             raise RuntimeError("call onboard() first")
+        # host-side bounds check: `slot` is traced into a donated scatter,
+        # and XLA DROPS out-of-bounds scatter updates silently — an invalid
+        # slot would "succeed" while serving stale references forever
+        capacity = int(jax.tree_util.tree_leaves(self.kv_cache)[0].shape[0])
+        slot_i = int(slot)
+        if not 0 <= slot_i < capacity:
+            raise ValueError(
+                f"slot {slot_i} out of range for a cache of {capacity} "
+                "identities (onboard() fixes capacity; over-provision with "
+                "placeholder rows to grow later)"
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         refs = identity_refs if identity_refs.ndim == 5 else identity_refs[None]
         new = self._onboard(self.params, refs, rng)

@@ -504,7 +504,11 @@ class Coach:
             donate_argnums=(0, 1, 2, 3),
         )
 
-        def eval_step(params, batch, rng, save_attn=False):
+        def eval_step(params, batch, rng, save_attn=False, save_stats=False):
+            # save_stats: streamed per-segment sums so the attention regs are
+            # computed on EVERY val batch (a consistent aggregated 'loss' for
+            # best-model selection); save_attn only adds full probs for the
+            # <=5 visualization batches.
             out = restore_forward(
                 params,
                 batch["image"],
@@ -514,6 +518,7 @@ class Coach:
                 statics=statics,
                 timestep=cfg.model.noise_timestep,
                 save_attn_probs=save_attn,
+                save_seg_sums=save_stats,
                 use_fused_attention=fused,
             )
             _, losses = compute_generator_loss(
@@ -524,7 +529,9 @@ class Coach:
             )
             return losses, out["output_image"], out.get("attn_probs")
 
-        self._eval_step = jax.jit(eval_step, static_argnames=("save_attn",))
+        self._eval_step = jax.jit(
+            eval_step, static_argnames=("save_attn", "save_stats")
+        )
 
     # ------------------------------------------------------------------
 
@@ -670,6 +677,21 @@ class Coach:
                 keep["gt_attn_mask"] = np.asarray(masks, bool)
                 keep["gt_attn_cond"] = np.asarray(conds, np.int32)
             host.append(keep)
+        # conditionally-collated keys (facial_comps / facial_comp_boxes /
+        # id_mats_* appear only when every item in a batch has them) can be
+        # present in some batches of the group and absent in others —
+        # tree_map would raise a structure mismatch mid-training. Stack only
+        # the intersection and say what was dropped.
+        common = set(host[0])
+        for h in host[1:]:
+            common &= set(h)
+        dropped = {k for h in host for k in h} - common
+        if dropped:
+            self.logger.log_message(
+                f"dispatch: dropping {sorted(dropped)} (present in only some "
+                "of the stacked batches)"
+            )
+            host = [{k: h[k] for k in common} for h in host]
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host)
         return shard_stacked_batch(self.mesh, stacked), landmark_layer
 
@@ -709,8 +731,13 @@ class Coach:
     def validate(self):
         """Full-val-set evaluation (reference coach.py:343-392): losses are
         aggregated over the ENTIRE test loader; ``val_vis_count`` caps only
-        the number of visualized image batches (:361), and attention overlays
-        are logged for at most 5 batches (:367-368)."""
+        the number of visualized image batches (:361, the reference's
+        ``batch_idx <= val_vis_count`` — so vis_count+1 batches), and
+        attention overlays are logged for the first 6 batches
+        (``batch_idx <= 5``, :367-368). The attention REGULARIZERS, by
+        contrast, enter the aggregated loss on every batch via streamed
+        segment sums — the visualization cap must not bias best-model
+        selection."""
         rng = jax.random.PRNGKey(0)
         agg: Dict[str, list] = {}
         batch_idx = -1
@@ -734,14 +761,29 @@ class Coach:
                     for k, v in batch.items()
                 }
             dev_batch, _ = self._device_batch(batch)
-            save_attn = (
-                batch_idx <= 5
-                and self.cfg.log.vis_attention
-                and self.statics.use_shared_attention
+            shared_live = (
+                self.statics.use_shared_attention
                 and "conditioning_images" in dev_batch
             )
+            save_attn = (
+                # reference semantics: batch_idx <= 5 (coach.py:368) — six
+                # attention-vis batches, vis_count+1 image batches below
+                batch_idx <= 5
+                and self.cfg.log.vis_attention
+                and shared_live
+            )
+            # attention regularizers must enter the aggregated 'loss' on
+            # every batch, not just the visualized ones — otherwise the
+            # whole-val-set mean (and best-model selection) mixes penalized
+            # and unpenalized totals
+            save_stats = shared_live and (
+                self.cfg.optim.lambda_attn_reg > 0
+                or self.cfg.optim.lambda_pos_reg > 0
+                or self.cfg.optim.lambda_neg_reg > 0
+            )
             losses, pred, attn_probs = self._eval_step(
-                self.params, dev_batch, rng, save_attn=save_attn
+                self.params, dev_batch, rng,
+                save_attn=save_attn, save_stats=save_stats,
             )
             losses = jax.device_get(losses)
             for k, v in losses.items():
@@ -862,3 +904,11 @@ class Coach:
             f"resumed from {path} at step {self.train_step_num}"
             f" ({'full' if full else 'weights-only'})"
         )
+        if not full and self.train_step_num > 0:
+            self.logger.log_message(
+                "WARNING: weights-only resume — optimizer state (incl. the "
+                "LR-schedule step count) starts fresh at 0 while "
+                f"train_step_num={self.train_step_num}; warmup/decay will "
+                "not line up with the original run. Resume from an interval "
+                "checkpoint (save(full=True)) for an exact continuation."
+            )

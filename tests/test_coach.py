@@ -362,3 +362,75 @@ def test_coach_save_full_and_resume(data_root, tmp_path):
         coach2.params["unet"]["up_blocks"][1]["attentions"][0]
         ["transformer_blocks"][0]["attn1"]["to_q"]["lora_B"]))
     assert not np.allclose(moved, saved_lora)
+
+
+def test_validate_attn_reg_on_every_batch(data_root, tmp_path, monkeypatch):
+    """The attention entropy reg must enter the aggregated val loss on EVERY
+    batch (streamed segment sums), not only the <=5 visualized ones —
+    otherwise best-model selection runs on an inconsistent metric."""
+    from instantrestore_tpu.models.restorer import init_restorer_params
+    from instantrestore_tpu.training.coach import Coach
+    import jax
+    from PIL import Image
+
+    train_root, _ = data_root
+    # 7 val identities -> 7 batches at test_batch_size=1 (> the 5-batch
+    # attention-vis cap)
+    rng_np = np.random.default_rng(5)
+    val_root = tmp_path / "val"
+    for i in range(7):
+        d = val_root / f"id{i}"
+        (d / "conditioning").mkdir(parents=True)
+        Image.fromarray(rng_np.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            d / "degraded.png")
+        Image.fromarray(rng_np.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            d / "gt.png")
+        Image.fromarray(rng_np.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            d / "conditioning" / "c0.png")
+
+    cfg = TrainConfig()
+    cfg.compute.batch_size = 1
+    cfg.compute.test_batch_size = 1
+    cfg.compute.workers = 0
+    cfg.compute.test_workers = 0
+    cfg.data.data_root = str(train_root)
+    cfg.data.val_data_root = str(val_root)
+    cfg.data.dataset_type = "face_restore"
+    cfg.data.resolution = 64
+    cfg.log.exp_root = str(tmp_path)
+    cfg.log.exp_name = "valreg"
+    cfg.log.log2wandb = False
+    cfg.log.val_vis_count = 2
+    cfg.steps.max_steps = 1
+    cfg.optim.lambda_lpips = 0.0
+    cfg.optim.lambda_ssim = 0.0
+    cfg.optim.lambda_gan = 0.0
+    cfg.optim.lambda_attn_reg = 0.1
+    cfg.model.lora_rank_unet = 4
+    cfg.model.lora_rank_vae = 4
+    cfg.model.use_adain = True
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    coach = Coach(cfg, statics=TINY_STATICS, params=params, vit_cfg=TINY_VIT)
+
+    seen = []
+    orig = coach._eval_step
+
+    def spy(p, batch, rng, save_attn=False, save_stats=False):
+        out = orig(p, batch, rng, save_attn=save_attn, save_stats=save_stats)
+        seen.append((save_attn, save_stats, "loss_attn_reg" in out[0]))
+        return out
+
+    monkeypatch.setattr(coach, "_eval_step", spy)
+    mean_loss = coach.validate()  # returns the mean total 'loss' scalar
+    assert len(seen) == 7
+    # the reg was computed on every batch; probs only for the vis batches
+    assert all(has_reg for _, _, has_reg in seen)
+    assert all(stats for _, stats, _ in seen)
+    # reference <=5 semantics: attention probs for the first 6 batches only
+    assert [sa for sa, _, _ in seen] == [True] * 6 + [False] * 1
+    # the aggregated selection metric includes the reg term on every batch
+    assert np.isfinite(mean_loss)

@@ -316,3 +316,26 @@ def test_onboard_one_incremental(use_cache):
     eng2.onboard(refs)
     out0_ref = np.asarray(eng2.restore(imgs, jnp.asarray([0, 0], jnp.int32), rng))
     np.testing.assert_allclose(out0, out0_ref, atol=1e-5)
+
+
+def test_onboard_one_out_of_range_slot():
+    """XLA silently drops out-of-bounds scatter updates; the engine must
+    raise on the host side instead of serving stale references forever."""
+    params = init_restorer_params(
+        jax.random.PRNGKey(3), STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    params = serving_bundle(params, STATICS)
+    eng = ServingEngine(params, STATICS, use_fused_attention=False)
+    refs = jax.random.randint(
+        jax.random.PRNGKey(1), (3, 4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    eng.onboard(refs)
+    new_refs = jax.random.randint(
+        jax.random.PRNGKey(11), (4, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        eng.onboard_one(new_refs, slot=3)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.onboard_one(new_refs, slot=-1)
+    eng.onboard_one(new_refs, slot=2)  # in range still works
