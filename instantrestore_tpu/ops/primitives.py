@@ -33,6 +33,8 @@ import numpy as np
 # import: jit-static, flip before importing to experiment.
 _CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
 _SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0") == "1"
+_CONV_S2D = os.environ.get("INSTANTRESTORE_CONV_S2D", "0") == "1"
+_CONV_TAPMM = os.environ.get("INSTANTRESTORE_CONV_TAPMM", "0") == "1"
 
 # int8 calibration side-channel: while a `with_int8_records`-wrapped forward
 # is being TRACED, conv2d's dynamic-int8 branch appends (calib_slot, observed
@@ -99,6 +101,85 @@ def _conv3x3_im2col(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _conv3x3_s2d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 'same' conv on a TINY-C_in image as a 2x2 block conv.
+
+    The k=3 s=1 conv on [H,W,cin] is EXACTLY a k=2 s=1 VALID conv over the
+    2x2 space-to-depth block image [(H/2)+1, (W/2)+1, 4*cin] (built from the
+    padded input) producing 4*cout channels, followed by depth-to-space.
+    Derivation: out(2i+a, 2j+b) = sum_{dy,dx} xp(2i+a+dy, 2j+b+dx) W[dy,dx];
+    writing row 2i+a+dy = 2(i+kh)+u gives kh=(a+dy)//2, u=(a+dy)%2 — kh in
+    {0,1}. Each output sub-pixel (a,b) uses 9 of the 2*2*4cin taps; the rest
+    of the scattered weight tensor stays zero.
+
+    Why: MXU contraction depth 4*cin*4 (48 at cin=3) instead of 3, for 1.78x
+    the FLOPs — ~9x less MXU time where XLA's native conv runs at ~2%
+    utilization (the VAE encoder conv_in, ~9-10 ms at batch-16/512px). The
+    risk is the s2d/d2s relayouts; gated opt-in until measured in situ
+    (INSTANTRESTORE_CONV_S2D=1, scripts/conv_experiments.py).
+    """
+    dtype = x.dtype
+    b, hh, ww, cin = x.shape
+    w = p["kernel"].astype(dtype)
+    cout = w.shape[-1]
+    w4 = jnp.zeros((2, 2, 4 * cin, 4 * cout), dtype)
+    for a in range(2):
+        for bb in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    kh, u = divmod(a + dy, 2)
+                    kw, v = divmod(bb + dx, 2)
+                    w4 = w4.at[
+                        kh, kw,
+                        (u * 2 + v) * cin : (u * 2 + v + 1) * cin,
+                        (a * 2 + bb) * cout : (a * 2 + bb + 1) * cout,
+                    ].set(w[dy, dx])
+    hb, wb = hh // 2 + 1, ww // 2 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xb = xp.reshape(b, hb, 2, wb, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(b, hb, wb, 4 * cin)
+    y = jax.lax.conv_general_dilated(
+        xb, w4, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H/2, W/2, 4*cout]
+    y = y.reshape(b, hh // 2, ww // 2, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, hh, ww, cout)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _conv3x3_tap_matmul(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 'same' conv with TINY C_out as a tap matmul.
+
+    XLA lane-pads the 3-channel OUTPUT of the decoder conv_out to 128 lanes
+    (~2% MXU). Instead: one [*, cin] @ [cin, 9*cout] matmul computes all 9
+    taps per pixel (N = 27 at cout=3 — 21% lane feed), then the conv sum is
+    9 shifted adds of 3-wide channel slices of the zero-padded tap plane
+    (zero padding of taps == zero padding of the input, since each tap is
+    linear in the input pixel). Opt-in until measured in situ
+    (INSTANTRESTORE_CONV_TAPMM=1, scripts/conv_experiments.py).
+    """
+    dtype = x.dtype
+    b, hh, ww, cin = x.shape
+    w = p["kernel"].astype(dtype)
+    cout = w.shape[-1]
+    wn = w.reshape(9, cin, cout).transpose(1, 0, 2).reshape(cin, 9 * cout)
+    y = jax.lax.dot_general(
+        x.reshape(b * hh * ww, cin), wn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(b, hh, ww, 9 * cout)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b, hh, ww, cout), dtype)
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        # out(h,w) needs tap t of input (h+dy-1, w+dx-1) = padded row h+dy
+        out = out + yp[:, dy : dy + hh, dx : dx + ww, t * cout : (t + 1) * cout]
+    if "bias" in p:
+        out = out + p["bias"].astype(dtype)
+    return out
+
+
 def conv2d(
     p: dict,
     x: jnp.ndarray,
@@ -114,17 +195,32 @@ def conv2d(
     kernel/stride/padding mapping in->r channels; lora_B is a 1x1 conv r->out.
     """
     dtype = x.dtype
-    if (
-        _CONV_IM2COL
-        and stride == 1
+    _plain3x3 = (
+        stride == 1
         and padding == 1
         and "lora_A" not in p
         and "kernel_int8" not in p
         and p["kernel"].ndim == 4
         and p["kernel"].shape[0] == 3
-        and p["kernel"].shape[2] * 9 <= 128
-    ):
+        and p["kernel"].shape[1] == 3
+    )
+    if _CONV_IM2COL and _plain3x3 and p["kernel"].shape[2] * 9 <= 128:
         return _conv3x3_im2col(p, x)
+    if (
+        _CONV_S2D
+        and _plain3x3
+        and p["kernel"].shape[2] <= 4
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        return _conv3x3_s2d(p, x)
+    if (
+        _CONV_TAPMM
+        and _plain3x3
+        and p["kernel"].shape[3] <= 8
+        and p["kernel"].shape[2] >= 32
+    ):
+        return _conv3x3_tap_matmul(p, x)
     dn = ("NHWC", "HWIO", "NHWC")
     pad = [(padding, padding), (padding, padding)]
     if "kernel_int8" in p:

@@ -153,6 +153,47 @@ def test_conv_im2col_matches_native(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_conv_s2d_matches_native(rng, monkeypatch):
+    """Opt-in space-to-depth 3x3 conv (tiny C_in, even H/W) == native conv,
+    including bias and borders."""
+    x = jnp.asarray(rng.normal(size=(2, 10, 8, 3)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 3, 8)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+    }
+    want = P.conv2d(p, x)
+    monkeypatch.setattr(P, "_CONV_S2D", True)
+    got = P.conv2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # odd spatial dims fall back to the native path (no crash, same result)
+    x_odd = jnp.asarray(rng.normal(size=(1, 9, 8, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(P.conv2d(p, x_odd)),
+        np.asarray(
+            jax.lax.conv_general_dilated(
+                x_odd, p["kernel"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + p["bias"]
+        ),
+        atol=1e-5,
+    )
+
+
+def test_conv_tap_matmul_matches_native(rng, monkeypatch):
+    """Opt-in tap-matmul 3x3 conv (tiny C_out) == native conv, including
+    bias and borders."""
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 32)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.normal(size=(3, 3, 32, 3)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(3,)), jnp.float32),
+    }
+    want = P.conv2d(p, x)
+    monkeypatch.setattr(P, "_CONV_TAPMM", True)
+    got = P.conv2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_silu_fp32():
     x = jnp.asarray([-1.0, 0.0, 2.0])
     ref = torch.nn.functional.silu(torch.tensor([-1.0, 0.0, 2.0])).numpy()
