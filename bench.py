@@ -41,7 +41,18 @@ def main():
     n_refs = 4
     res = 512
 
-    on_tpu = jax.default_backend() == "tpu"
+    # the tunneled TPU backend is occasionally UNAVAILABLE for minutes at a
+    # time; retry init rather than crashing with no JSON line (the driver
+    # records this script's single output line as the round's bench artifact)
+    on_tpu = False
+    for attempt in range(5):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+            break
+        except RuntimeError as e:
+            print(f"# backend init failed (try {attempt + 1}/5): {e}",
+                  file=sys.stderr)
+            time.sleep(60)
     if not on_tpu:
         # CPU smoke fallback (driver runs this on real TPU)
         print(json.dumps({
