@@ -30,7 +30,27 @@ class DataLoader:
         collate_fn: Callable = collate,
         prefetch: int = 4,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count`` enable multi-host feeding:
+        every process computes the IDENTICAL global shuffle (same seed) and
+        collates only its contiguous 1/process_count slice of each global
+        batch — disjoint, covering, and in mesh order, exactly what
+        ``parallel.mesh.multihost_shard_batch`` expects (the torch
+        DistributedSampler role in the reference's accelerate setup).
+        ``batch_size`` stays the GLOBAL batch size."""
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size={batch_size} must divide evenly over "
+                    f"{process_count} processes"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "multi-host loaders require drop_last=True (a partial "
+                    "final batch cannot split evenly across processes)"
+                )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,6 +59,8 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self):
@@ -50,7 +72,15 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         nb = len(self)
-        return [idx[i * self.batch_size : (i + 1) * self.batch_size].tolist() for i in range(nb)]
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size].tolist()
+            for i in range(nb)
+        ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo : lo + per] for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = self._batch_indices()

@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 from typing import Any, Dict, List, Optional, Tuple
+
+_logger = logging.getLogger("instantrestore_tpu.serving")
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +66,18 @@ class ServingEngine:
         int8_decoder: bool = False,
         int8_unet: bool = False,
         identity_cache: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh``: optional 1-axis ``jax.sharding.Mesh`` for multi-chip
+        serving. Params and the identity-KV cache replicate across the mesh;
+        every ``restore``/``restore_cold`` batch (and its identity_ids)
+        shards on the data axis via ``shard_map`` — each chip runs the full
+        per-shard program locally, so the Pallas scalar-prefetch kernels and
+        the donated cache scatter work unchanged per chip. ``onboard``
+        additionally parallelizes identity encoding across the mesh when the
+        identity count divides the mesh size (the refs of different
+        identities ride different chips, then the cache all-gathers over
+        ICI). Single-chip behavior is exactly mesh=None."""
         if int8_decoder or int8_unet:
             # serving-only quantization; see models/vae.py::quantize_decoder_int8
             from instantrestore_tpu.models.lora import merge_lora
@@ -128,11 +142,13 @@ class ServingEngine:
 
         resolution = self.resolution
 
-        @jax.jit
-        def _onboard(params, refs, rng):
+        def _onboard_impl(params, refs, keys):
             # one identity at a time (lax.map = compiled once, executed I
             # times): onboarding is amortized, and a flat [I*N, 512, 512]
-            # VAE encode would blow HBM at I=16 (fp32 GN temps)
+            # VAE encode would blow HBM at I=16 (fp32 GN temps). `keys` is a
+            # per-identity PRNG key array [I, ...] — split OUTSIDE so a
+            # mesh-sharded onboard (identities over chips) stays bit-equal
+            # to the single-chip result.
             i, n = refs.shape[:2]
             refs = _maybe_preprocess(
                 refs.reshape(i * n, *refs.shape[2:]), resolution
@@ -151,7 +167,7 @@ class ServingEngine:
                 )
                 return [(k[0], v[0]) for k, v in kv]
 
-            kv = jax.lax.map(one, (refs, jax.random.split(rng, i)))
+            kv = jax.lax.map(one, (refs, keys))
             if identity_cache:
                 from instantrestore_tpu.ops.shared_attention import (
                     build_identity_kv_cache,
@@ -161,6 +177,11 @@ class ServingEngine:
                 # reduced ONCE here; restores stream the cache directly
                 kv = build_identity_kv_cache(kv, pack_pairs=use_fused_attention)
             return kv
+
+        def _onboard(params, refs, rng):
+            return _onboard_impl(params, refs, jax.random.split(rng, refs.shape[0]))
+
+        _onboard = jax.jit(_onboard)
 
         def _restore_impl(params, images, kv_cache, identity_ids, rng, fused=use_fused_attention):
             images = _maybe_preprocess(images, resolution)
@@ -185,8 +206,7 @@ class ServingEngine:
             )
             return out["output_image"]
 
-        @jax.jit
-        def _restore_cold(params, images, cond_images, rng):
+        def _restore_cold_impl(params, images, cond_images, rng):
             images = _maybe_preprocess(images, resolution)
             b, n = cond_images.shape[:2]
             cond_images = _maybe_preprocess(
@@ -230,20 +250,126 @@ class ServingEngine:
                     out.append((upd(k, nk), upd(v, nv)))
             return out
 
-        self._onboard = _onboard
+        self.mesh = mesh
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from instantrestore_tpu.parallel.mesh import replicate_params
+
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    f"serving mesh must be 1-axis (got {mesh.axis_names})"
+                )
+            axis = mesh.axis_names[0]
+            self.params = replicate_params(mesh, self.params)
+            self._mesh_size = int(mesh.devices.size)
+
+            # per-shard program: each chip restores its slice of the batch
+            # against the replicated identity-KV cache — the Pallas
+            # scalar-prefetch kernels and donated scatter run locally,
+            # per chip, exactly as single-chip
+            def _restore_shard(params, images, kv_cache, identity_ids, rng):
+                r = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                return _restore_impl(params, images, kv_cache, identity_ids, r)
+
+            # check_vma off: pallas_call outputs carry no varying-mesh-axes
+            # metadata (jax >= 0.8), and the per-shard program is collective-
+            # free by construction
+            self._restore = jax.jit(
+                shard_map(
+                    _restore_shard, mesh=mesh,
+                    in_specs=(P(), P(axis), P(), P(axis), P()),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+
+            def _restore_cold_shard(params, images, cond_images, rng):
+                r = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                return _restore_cold_impl(params, images, cond_images, r)
+
+            self._restore_cold = jax.jit(
+                shard_map(
+                    _restore_cold_shard, mesh=mesh,
+                    in_specs=(P(), P(axis), P(axis), P()),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+
+            # identity-parallel onboarding: identity rows (and their keys)
+            # shard over the mesh, each chip encodes its identities, the
+            # cache all-gathers over ICI back to replicated
+            def _onboard_shard(params, refs, keys):
+                local = _onboard_impl(params, refs, keys)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                    local,
+                )
+
+            self._onboard_sharded = jax.jit(
+                shard_map(
+                    _onboard_shard, mesh=mesh,
+                    in_specs=(P(), P(axis), P(axis)),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            self._onboard = _onboard  # replicated fallback (I % mesh != 0)
+        else:
+            self._onboard = _onboard
+            self._restore = jax.jit(_restore_impl, static_argnames=("fused",))
+            self._restore_cold = jax.jit(_restore_cold_impl)
         self._scatter_cache = _scatter_cache
         self._restore_impl = _restore_impl
-        self._restore = jax.jit(_restore_impl, static_argnames=("fused",))
-        self._restore_cold = _restore_cold
+
+        # surface which serving path this engine compiled — the identity-
+        # cache fallback for train_input models is otherwise silent and
+        # costs the ~16 ms/batch gather the cache exists to remove
+        kv_path = "identity-kv-cache" if self.identity_cache else "per-call KV gather"
+        if (
+            not self.identity_cache
+            and use_fused_attention
+            and statics.train_input
+        ):
+            kv_path += " (auto-fallback: train_input models attend to the input segment, which the refs-only identity cache cannot model)"
+        _logger.info(
+            "ServingEngine paths: attention=%s, warm-kv=%s, quant=%s, res=%d, mesh=%s",
+            "pallas-fused" if use_fused_attention else "xla",
+            kv_path,
+            ("int8-unet+decoder" if int8_unet and int8_decoder
+             else "int8-decoder" if int8_decoder
+             else "int8-unet" if int8_unet else "fp"),
+            self.resolution,
+            f"{self._mesh_size}-chip data-parallel" if mesh is not None
+            else "single-chip",
+        )
 
     def onboard(self, identity_refs: jnp.ndarray, rng: Optional[jax.Array] = None):
         """identity_refs [I, N, H, W, 3] in [-1,1] -> warm KV cache.
 
         I fixes the cache capacity (static shapes); pad with placeholder
         identities to over-provision, then fill rows later via
-        ``onboard_one``."""
+        ``onboard_one``.
+
+        With a serving mesh and I divisible by the mesh size, identities
+        encode in PARALLEL across chips (then the cache all-gathers to
+        replicated); bit-identical to the single-chip result because the
+        per-identity PRNG keys are split once globally."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.kv_cache = self._onboard(self.params, identity_refs, rng)
+        n_ident = identity_refs.shape[0]
+        if self.mesh is not None and n_ident % self._mesh_size == 0:
+            keys = jax.random.split(rng, n_ident)
+            self.kv_cache = self._onboard_sharded(self.params, identity_refs, keys)
+        else:
+            if self.mesh is not None:
+                _logger.info(
+                    "onboard: %d identities not divisible by mesh size %d — "
+                    "replicated (every chip encodes all identities)",
+                    n_ident, self._mesh_size,
+                )
+            self.kv_cache = self._onboard(self.params, identity_refs, rng)
         return self.kv_cache
 
     def onboard_one(
@@ -285,6 +411,11 @@ class ServingEngine:
     ) -> jnp.ndarray:
         if self.kv_cache is None:
             raise RuntimeError("call onboard() first")
+        if self.mesh is not None and images.shape[0] % self._mesh_size:
+            raise ValueError(
+                f"batch {images.shape[0]} must be divisible by the serving "
+                f"mesh size {self._mesh_size}"
+            )
         return self._restore(self.params, images, self.kv_cache, identity_ids, rng)
 
     def calibrate_int8(self, batches, *, margin: float = 1.05) -> int:
@@ -331,4 +462,9 @@ class ServingEngine:
         self, images: jnp.ndarray, cond_images: jnp.ndarray, rng: jax.Array
     ) -> jnp.ndarray:
         """Full reference-parity path: re-encode refs every call (compiled)."""
+        if self.mesh is not None and images.shape[0] % self._mesh_size:
+            raise ValueError(
+                f"batch {images.shape[0]} must be divisible by the serving "
+                f"mesh size {self._mesh_size}"
+            )
         return self._restore_cold(self.params, images, cond_images, rng)

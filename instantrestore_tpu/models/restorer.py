@@ -194,9 +194,15 @@ def get_conditioning_kv(
     sample_posterior: bool = True,
     decode_conditions: bool = False,
     use_fused_attention: bool = False,
+    debug_taps: bool = False,
 ):
     """Reference branch: extract shared-attention K/V from the N conditioning
-    images (pix2pix_turbo.py:242-279)."""
+    images (pix2pix_turbo.py:242-279).
+
+    ``debug_taps=True`` returns a third element with the conditioning-branch
+    latents {cond_latent, cond_latent_noised} ([B*N, h, w, 4]) so a torch-side
+    parity run (scripts/parity_torch_side.py) can derive and inject the exact
+    conditioning noise."""
     b, n = cond_images.shape[:2]
     flat = cond_images.reshape(b * n, *cond_images.shape[2:])
     r_lat, r_noise = jax.random.split(rng)
@@ -242,6 +248,8 @@ def get_conditioning_kv(
             -1.0,
             1.0,
         ).reshape(b, n, *cond_images.shape[2:])
+    if debug_taps:
+        return ref_kv, decoded, {"cond_latent": z, "cond_latent_noised": zt}
     return ref_kv, decoded
 
 
@@ -312,7 +320,7 @@ def restore_forward(
 
     # 2. shared-attention K/V from the reference images (or a warm identity
     #    KV cache in batched serving — see inference/serving.py)
-    ref_kv, decoded_conds = None, None
+    ref_kv, decoded_conds, cond_taps = None, None, {}
     if precomputed_ref_kv is not None:
         ref_kv = precomputed_ref_kv
     elif cond_images is not None and statics.use_shared_attention:
@@ -328,9 +336,15 @@ def restore_forward(
                 sample_posterior=sample_posterior,
                 decode_conditions=decode_conditions,
                 use_fused_attention=use_fused_attention,
+                debug_taps=debug_taps,
             )
 
-        ref_kv, decoded_conds = _capture(params, cond_images, valid_indices, r_cond)
+        if debug_taps:
+            ref_kv, decoded_conds, cond_taps = _capture(
+                params, cond_images, valid_indices, r_cond
+            )
+        else:
+            ref_kv, decoded_conds = _capture(params, cond_images, valid_indices, r_cond)
 
     # 3. forward-diffuse the input latent
     if timestep is None:
@@ -407,6 +421,7 @@ def restore_forward(
             "x0": x0,
             "decoded": out,
         }
+        taps.update(cond_taps)
         for k, v in aux.get("taps", {}).items():
             taps[f"unet.{k}"] = v
         if ref_kv is not None:

@@ -32,7 +32,12 @@ import numpy as np
 # profile (see their docstrings), so the defaults stay off. Read once at
 # import: jit-static, flip before importing to experiment.
 _CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
-_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0") == "1"
+# subpixel upsample+conv mode: "0" off (materialized nearest-2x + 3x3 conv),
+# "1" 4 phase convs + 6-D-transpose depth-to-space (round-3, measured net
+# slower), "2" 4 phase convs + pairwise stack-reshape interleave (no big
+# transpose), "3" ONE lhs-dilated 4x4 conv (zero-insertion upsample folded
+# into the kernel; XLA writes the 2x output directly — no interleave at all)
+_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0")
 _CONV_S2D = os.environ.get("INSTANTRESTORE_CONV_S2D", "0") == "1"
 _CONV_TAPMM = os.environ.get("INSTANTRESTORE_CONV_TAPMM", "0") == "1"
 
@@ -527,7 +532,7 @@ def upsample2x_conv(
     with a Pallas epilogue that writes phases strided into the output.
     """
     if (
-        not _SUBPIXEL_UP
+        _SUBPIXEL_UP == "0"
         or "lora_A" in p
         or "kernel_int8" in p
         or p["kernel"].shape[0] != 3
@@ -536,6 +541,25 @@ def upsample2x_conv(
     dtype = x.dtype
     bsz, hh, ww, cin = x.shape
     w = p["kernel"].astype(jnp.float32)  # [3, 3, cin, cout]
+    if _SUBPIXEL_UP == "3":
+        # zero-insertion (lhs_dilation=2) + 4x4 kernel = nearest-2x + 3x3
+        # conv, exactly: nearest duplication is ones2x2 (*) zero-dilated x,
+        # and conv3x3(ones2x2 (*) xd) == conv4x4'(xd) with
+        # K4[u,v] = sum_{a,b in {0,1}} W[u-1+a, v-1+b] (valid taps). One
+        # conv, no phase interleave — XLA writes the 2x grid directly.
+        wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        k4 = wp[:-1, :-1] + wp[1:, :-1] + wp[:-1, 1:] + wp[1:, 1:]  # [4,4,i,o]
+        y = jax.lax.conv_general_dilated(
+            x,
+            k4.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(2, 2), (2, 2)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     ky = (
         jnp.stack([w[0], w[1] + w[2]]),        # phase a=0: rows (i-1, i)
         jnp.stack([w[0] + w[1], w[2]]),        # phase a=1: rows (i, i+1)
@@ -559,8 +583,16 @@ def upsample2x_conv(
             )
             phases.append(y)
     cout = phases[0].shape[-1]
-    y = jnp.stack(phases, axis=0).reshape(2, 2, bsz, hh, ww, cout)
-    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(bsz, 2 * hh, 2 * ww, cout)
+    if _SUBPIXEL_UP == "2":
+        # pairwise interleave: stack on a fresh minor-adjacent axis then a
+        # CONTIGUOUS reshape (free) — two concat-shaped copies instead of
+        # the 6-D transpose depth-to-space that ate mode 1's MAC savings
+        z0 = jnp.stack(phases[0:2], axis=3).reshape(bsz, hh, 2 * ww, cout)
+        z1 = jnp.stack(phases[2:4], axis=3).reshape(bsz, hh, 2 * ww, cout)
+        y = jnp.stack([z0, z1], axis=2).reshape(bsz, 2 * hh, 2 * ww, cout)
+    else:
+        y = jnp.stack(phases, axis=0).reshape(2, 2, bsz, hh, ww, cout)
+        y = y.transpose(2, 3, 0, 4, 1, 5).reshape(bsz, 2 * hh, 2 * ww, cout)
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y

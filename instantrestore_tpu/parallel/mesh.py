@@ -72,6 +72,80 @@ def make_multislice_mesh(
     return Mesh(dev_array, ("dcn", DATA_AXIS))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Multi-process (multi-host) entry point — the TPU-native twin of the
+    reference's ``accelerate launch`` multi-node bootstrap
+    (/root/reference/setup.sh:4, coach.py:52-61).
+
+    On TPU pods/multi-host slices, call with NO arguments before any backend
+    use: the TPU runtime supplies coordinator/process topology. On GPU/CPU
+    clusters pass coordinator_address/num_processes/process_id explicitly.
+    Safe to call twice (no-op when the distributed client already exists);
+    NEVER called implicitly — single-process runs must not touch the
+    coordinator (a second client on a shared tunneled backend hangs)."""
+    try:
+        from jax._src.distributed import global_state
+
+        if getattr(global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
+    kwargs: dict = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+
+
+def is_primary() -> bool:
+    """True on the process that owns logging/checkpointing (process 0)."""
+    return jax.process_index() == 0
+
+
+def multihost_shard_batch(mesh: Mesh, local_batch: Any, axis=DATA_AXIS) -> Any:
+    """Per-process local batch shards -> GLOBAL dim-0-sharded jax.Arrays.
+
+    Each process feeds only its own slice of the global batch (size
+    global_batch / process_count, produced by ``DataLoader(process_index=,
+    process_count=)``); ``jax.make_array_from_process_local_data`` assembles
+    the global array without any cross-host data movement. Single-process
+    this equals ``shard_batch``."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x
+        )
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
+def multihost_shard_stacked_batch(mesh: Mesh, local_batch: Any, axis=DATA_AXIS) -> Any:
+    """Multi-host twin of ``shard_stacked_batch``: [N_steps, local_B, ...]
+    per-process trees -> global arrays with dim 0 replicated and dim 1
+    sharded on ``axis``."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(None, axis, *([None] * (x.ndim - 2))) if x.ndim >= 2 else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x
+        )
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

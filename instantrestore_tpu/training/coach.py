@@ -39,7 +39,13 @@ from instantrestore_tpu.models.restorer import (
     restore_forward,
 )
 from instantrestore_tpu.models.vit import DINOV2_VITL14, init_vit_params
-from instantrestore_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
+from instantrestore_tpu.parallel.mesh import (
+    make_mesh,
+    multihost_shard_batch,
+    multihost_shard_stacked_batch,
+    replicate_params,
+    shard_batch,
+)
 from instantrestore_tpu.training import checkpoints as ckpt_mod
 from instantrestore_tpu.training.logging_utils import CoachLogger
 from instantrestore_tpu.training.losses import gan as gan_mod
@@ -79,13 +85,42 @@ class Coach:
         self.cfg = cfg
         self.statics = statics or RestorerStatics.from_model_config(cfg.model)
         self.vit_cfg = vit_cfg
-        self.logger = CoachLogger(cfg.log.exp_dir, use_tensorboard=cfg.log.log2wandb)
+        # multi-host: call parallel.mesh.init_distributed() BEFORE building a
+        # Coach; process 0 owns logging/checkpointing, every process feeds
+        # its slice of the global batch (accelerate-launch parity,
+        # /root/reference/setup.sh:4, coach.py:52-61)
+        self.process_count = jax.process_count()
+        self.primary = jax.process_index() == 0
+        self.logger = CoachLogger(
+            cfg.log.exp_dir, use_tensorboard=cfg.log.log2wandb,
+            primary=self.primary,
+        )
         self.logger.log_config(encode_config(cfg))
-        # data mesh over the largest device count that divides the global
-        # batch (a 1-sample batch on an 8-device test mesh uses 1 device)
-        n_dev = jax.device_count()
-        while cfg.compute.batch_size % n_dev != 0:
-            n_dev -= 1
+        if self.process_count > 1:
+            # SPMD over a multi-host mesh MUST include every device of every
+            # process — no silent shrinking; fail loud on bad configs
+            if cfg.compute.batch_size % jax.device_count():
+                raise ValueError(
+                    f"multi-host run: global batch_size={cfg.compute.batch_size} "
+                    f"must be divisible by the {jax.device_count()} global devices"
+                )
+            n_dev = jax.device_count()
+            self.logger.log_message(
+                f"multi-host: {self.process_count} processes x "
+                f"{jax.local_device_count()} local devices"
+            )
+        else:
+            # data mesh over the largest device count that divides the global
+            # batch (a 1-sample batch on an 8-device test mesh uses 1 device)
+            n_dev = jax.device_count()
+            while cfg.compute.batch_size % n_dev != 0:
+                n_dev -= 1
+            if n_dev != jax.device_count():
+                self.logger.log_message(
+                    f"WARNING: batch_size={cfg.compute.batch_size} is not divisible "
+                    f"by the {jax.device_count()} visible devices — using {n_dev} "
+                    f"device(s), idling {jax.device_count() - n_dev}"
+                )
         self.device_count = n_dev
         self.mesh = make_mesh(jax.devices()[:n_dev])
         self.train_step_num = 0
@@ -251,13 +286,18 @@ class Coach:
             shuffle=not cfg.data.overfit,
             num_workers=cfg.compute.workers,
             seed=cfg.compute.seed,
+            process_index=jax.process_index(),
+            process_count=self.process_count,
         )
         self.test_loader = DataLoader(
             self.test_dataset,
             cfg.compute.test_batch_size,
             shuffle=False,
             num_workers=cfg.compute.test_workers,
-            drop_last=False,
+            # multi-host: a partial final batch cannot split across processes
+            drop_last=self.process_count > 1,
+            process_index=jax.process_index(),
+            process_count=self.process_count,
         )
 
         self._build_steps()
@@ -341,6 +381,11 @@ class Coach:
         if fused is None:
             fused = jax.default_backend() == "tpu"
         self._fused_attention = fused
+        self.logger.log_message(
+            f"attention path: {'pallas-fused (custom VJP)' if fused else 'xla'}"
+            + (" [prob-saving shared layers fall back to XLA for the attention losses]"
+               if need_landmark_probs and fused else "")
+        )
         remat = cfg.compute.remat
         if remat is None:
             remat = jax.default_backend() == "tpu"
@@ -550,14 +595,20 @@ class Coach:
                      "facial_comp_boxes", "degradation_params",
                      "id_mats_pred", "id_mats_target", "id_valid")
         }
-        dev = shard_batch(self.mesh, keep)
+        # multi-host: each process holds only its slice of the global batch
+        # (DataLoader process_index/process_count); assemble global arrays
+        shard = (
+            (lambda t: multihost_shard_batch(self.mesh, t))
+            if self.process_count > 1
+            else (lambda t: shard_batch(self.mesh, t))
+        )
+        dev = shard(keep)
         landmark_layer = None
         if batch.get("gt_attn_probs") is not None:
             probs, masks, layer, conds = batch["gt_attn_probs"]
             landmark_layer = int(layer)
             dev.update(
-                shard_batch(
-                    self.mesh,
+                shard(
                     {
                         "gt_attn_probs": np.asarray(probs, np.float32),
                         "gt_attn_mask": np.asarray(masks, bool),
@@ -693,7 +744,26 @@ class Coach:
             )
             host = [{k: h[k] for k in common} for h in host]
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host)
+        if self.process_count > 1:
+            return (
+                multihost_shard_stacked_batch(self.mesh, stacked),
+                landmark_layer,
+            )
         return shard_stacked_batch(self.mesh, stacked), landmark_layer
+
+    def _host_local(self, arr) -> np.ndarray:
+        """Process-local rows of a dim-0-sharded global array. Multi-host
+        safe replacement for np.asarray on model outputs consumed host-side
+        (vis grids, the MTCNN drift detector): np.asarray on a
+        non-fully-addressable global array raises; the local shard lines up
+        row-for-row with this process's slice of the batch (DataLoader
+        process slicing + make_array_from_process_local_data)."""
+        if self.process_count == 1:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     def _after_steps(self, n, losses, pred, last_batch):
         cfg = self.cfg
@@ -718,7 +788,7 @@ class Coach:
                 "train_images",
                 {
                     "input": last_batch["image"],
-                    "pred": np.asarray(pred),
+                    "pred": self._host_local(pred),
                     "gt": last_batch["gt"],
                 },
             )
@@ -791,11 +861,11 @@ class Coach:
             if batch_idx == 0 and self._id_detect_fn is not None and (
                 self.arcface_params is not None
             ):
-                self._log_detected_id_sim(agg, np.asarray(pred), batch)
+                self._log_detected_id_sim(agg, self._host_local(pred), batch)
             if batch_idx <= self.cfg.log.val_vis_count:
                 self.logger.vis_batch(
                     f"val_images/{batch_idx:04d}",
-                    {"input": batch["image"], "pred": np.asarray(pred), "gt": batch["gt"]},
+                    {"input": batch["image"], "pred": self._host_local(pred), "gt": batch["gt"]},
                 )
                 if save_attn and attn_probs:
                     # per-reference received-attention overlays (reference
@@ -817,7 +887,8 @@ class Coach:
         if mean_losses.get("loss", float("inf")) < self.best_val_loss:
             self.best_val_loss = mean_losses["loss"]
             self.save(tag="best_model")
-            (self.cfg.log.exp_dir / "checkpoints" / "timestep.txt").write_text(
+            if self.primary:
+                (self.cfg.log.exp_dir / "checkpoints" / "timestep.txt").write_text(
                 f"best val loss {self.best_val_loss:.5f} at step {self.train_step_num}\n"
             )
         return mean_losses.get("loss")
@@ -857,7 +928,13 @@ class Coach:
         or, with ``full=True``, the resumable trainer state — params +
         optimizer states + step counter + best-val tracker. The reference
         stores its AdamW state in every .pt (coach.py:712-718); here the
-        full/weights split keeps serving artifacts small."""
+        full/weights split keeps serving artifacts small.
+
+        Multi-host: params/opt-state are replicated (every host holds full
+        copies), so process 0 writes alone and the others return — the
+        accelerate main-process-only save."""
+        if not self.primary:
+            return
         out = Path(self.cfg.log.exp_dir) / "checkpoints" / tag
         payload = {"params": jax.device_get(self.params)}
         if self.disc_heads is not None:

@@ -18,13 +18,19 @@ import numpy as np
 
 
 class CoachLogger:
-    def __init__(self, exp_dir, use_tensorboard: bool = True):
+    def __init__(self, exp_dir, use_tensorboard: bool = True, primary: bool = True):
+        """``primary=False`` (non-zero process in a multi-host run) makes
+        every method a no-op and touches no files — the multi-host equivalent
+        of accelerate's main-process-only logging (reference coach.py:145)."""
+        self.primary = primary
         self.exp_dir = Path(exp_dir)
         self.log_dir = self.exp_dir / "logs"
-        self.log_dir.mkdir(parents=True, exist_ok=True)
-        self.log_file = self.log_dir / "log.txt"
         self.step = 0
         self.tb = None
+        if not primary:
+            return
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.log_file = self.log_dir / "log.txt"
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -37,6 +43,8 @@ class CoachLogger:
         self.step = step
 
     def log_message(self, msg: str):
+        if not self.primary:
+            return
         stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         line = f"[{stamp}] step {self.step}: {msg}"
         print(line, file=sys.stderr)
@@ -44,6 +52,8 @@ class CoachLogger:
             f.write(line + "\n")
 
     def log_metrics(self, metrics: Dict[str, Any], prefix: str = "train"):
+        if not self.primary:
+            return
         flat = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
         parts = ", ".join(f"{k}={v:.5f}" for k, v in flat.items())
         self.log_message(f"{prefix}: {parts}")
@@ -52,6 +62,8 @@ class CoachLogger:
                 self.tb.add_scalar(f"{prefix}/{k}", v, self.step)
 
     def log_config(self, cfg_dict: Dict[str, Any]):
+        if not self.primary:
+            return
         import yaml
 
         (self.exp_dir / "config.yaml").write_text(yaml.safe_dump(cfg_dict))
@@ -59,6 +71,8 @@ class CoachLogger:
     def vis_batch(self, title: str, images: Dict[str, np.ndarray], max_rows: int = 4):
         """Save a side-by-side grid of named image tensors ([B,H,W,3] in
         [-1,1]) to logs/<title>/step_<n>.png (vis_utils.vis_data twin)."""
+        if not self.primary:
+            return
         from PIL import Image
 
         cols = []
@@ -77,6 +91,8 @@ class CoachLogger:
     def save_image(self, title: str, image):
         """Save a ready-made PIL image under logs/<title>/ (attention
         overlays, vis_utils.vis_attn_probs twin)."""
+        if not self.primary:
+            return
         out_dir = self.log_dir / title
         out_dir.mkdir(parents=True, exist_ok=True)
         image.save(out_dir / f"step_{self.step:07d}.jpg", quality=92)

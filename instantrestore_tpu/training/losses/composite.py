@@ -144,6 +144,46 @@ def pos_neg_reg_loss(means: jnp.ndarray, target_idx: jnp.ndarray, *, negative: b
     return -log_p[0, target_idx]
 
 
+def pos_neg_reg_loss_per_sample(
+    means: jnp.ndarray, target_idx: jnp.ndarray, *, negative: bool
+) -> jnp.ndarray:
+    """Per-sample pos/neg regularizer — the batch>1 fix over the reference's
+    'TODO: This only works for 1 batch' (coach.py:649,665), same treatment
+    the landmark loss already received.
+
+    means [B, n_segments]: per-SAMPLE segment masses of the chosen layer.
+    target_idx [B] int32: each sample's own swapped-reference segment; -1
+    marks 'no swap for this sample' and is masked out of the mean. At B=1
+    with a valid index this is bit-identical to pos_neg_reg_loss on the
+    whole-batch means (per-sample mass == batch mass, per-row max-normalize
+    == global max-normalize)."""
+    m = means / jnp.maximum(means.max(axis=1, keepdims=True), 1e-12)
+    probs = jax.nn.softmax(m, axis=1)
+    if negative:
+        log_p = jnp.log(jnp.clip(1.0 - probs, 1e-12, None))
+    else:
+        log_p = jnp.log(jnp.clip(probs, 1e-12, None))
+    idx = jnp.maximum(target_idx, 0).astype(jnp.int32)
+    nll = -jnp.take_along_axis(log_p, idx[:, None], axis=1)[:, 0]
+    valid = (target_idx >= 0).astype(jnp.float32)
+    return (nll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
+def reference_usage_means_per_sample(
+    attn_probs: List[jnp.ndarray], layer_idx: jnp.ndarray, q_sizes: List[int]
+) -> jnp.ndarray:
+    """Per-SAMPLE per-segment attention mass of one (traced) layer:
+    [B, n_segments]. Summing over the batch axis recovers
+    reference_usage_means (coach.py:647-655)."""
+    per_layer = []
+    for probs, q in zip(attn_probs, q_sizes):
+        k = probs.shape[-1]
+        seg = probs.reshape(*probs.shape[:-1], k // q, q)
+        per_layer.append(seg.sum(axis=(1, 2, 4)).astype(jnp.float32))
+    stacked = jnp.stack(per_layer)  # [layers, B, n_segments]
+    return stacked[layer_idx]
+
+
 def crop_with_boxes(images: jnp.ndarray, origins: jnp.ndarray, h: int, w: int):
     """Fixed-size per-sample crops: images [B,H,W,C], origins [B,2] (y0,x0)
     -> [B,h,w,C]. Static-shape twin of the reference's mask-bbox crop
@@ -246,29 +286,35 @@ def compute_generator_loss(
         total += losses["loss_landmark"] * cfg.lambda_landmark
 
     if (cfg.lambda_pos_reg > 0 or cfg.lambda_neg_reg > 0) and (seg_sums or attn_probs):
+        # PER-SAMPLE segment masses [B, n_segments] — each sample is scored
+        # against its OWN swap index (the batch>1 fix over the reference's
+        # batch-1-only indexing, coach.py:649,665; bit-parity at B=1).
         if seg_sums:
-            # per-layer whole-batch segment masses from the streamed sums
-            # (identical to reference_usage_means on full probs)
+            # streamed per-segment sums (identical to the full-probs path)
             layer_idx = jax.random.randint(rng, (), 0, len(seg_sums))
             per_layer = jnp.stack(
-                [s.astype(jnp.float32).sum(axis=(0, 1, 2)) for s in seg_sums]
-            )
+                [s.astype(jnp.float32).sum(axis=(1, 2)) for s in seg_sums]
+            )  # [layers, B, n_segments]
             means = per_layer[layer_idx]
         else:
             q_sizes = [p.shape[2] for p in attn_probs]
             layer_idx = jax.random.randint(rng, (), 0, len(attn_probs))
-            means = reference_usage_means(attn_probs, layer_idx, q_sizes)
+            means = reference_usage_means_per_sample(attn_probs, layer_idx, q_sizes)
         if cfg.lambda_pos_reg > 0 and "pos_reg_idx" in batch:
-            idx = batch["pos_reg_idx"][0]
-            valid = (idx >= 0).astype(jnp.float32)
-            lp = pos_neg_reg_loss(means, jnp.maximum(idx, 0), negative=False)
-            losses["loss_attn_pos_reg"] = lp * valid
+            idx = jnp.broadcast_to(
+                jnp.asarray(batch["pos_reg_idx"], jnp.int32), (means.shape[0],)
+            )
+            losses["loss_attn_pos_reg"] = pos_neg_reg_loss_per_sample(
+                means, idx, negative=False
+            )
             total += losses["loss_attn_pos_reg"] * cfg.lambda_pos_reg
         if cfg.lambda_neg_reg > 0 and "neg_reg_idx" in batch:
-            idx = batch["neg_reg_idx"][0]
-            valid = (idx >= 0).astype(jnp.float32)
-            ln = pos_neg_reg_loss(means, jnp.maximum(idx, 0), negative=True)
-            losses["loss_attn_neg_reg"] = ln * valid
+            idx = jnp.broadcast_to(
+                jnp.asarray(batch["neg_reg_idx"], jnp.int32), (means.shape[0],)
+            )
+            losses["loss_attn_neg_reg"] = pos_neg_reg_loss_per_sample(
+                means, idx, negative=True
+            )
             total += losses["loss_attn_neg_reg"] * cfg.lambda_neg_reg
 
     if cfg.lambda_facial_comp > 0 and batch.get("facial_comps") is not None:

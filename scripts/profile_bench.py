@@ -129,27 +129,24 @@ def main():
         where = meta.get(name, "")
         print(f"{dur/3:12.0f}  {100*dur/max(total,1e-9):5.1f}  {name[:40]}  {where[-100:]}")
 
-    # pipeline-stage buckets from the op_name model path
+    # pipeline-stage buckets from the op_name model path (jax named scopes:
+    # jit(_restore_impl)/{vae_encode,vae_decode,unet,...}/<op> <file:line>)
     buckets = defaultdict(float)
     for name, dur in agg.items():
         w = meta.get(name, "").lower()
         n = name.lower()
-        if "shared" in n or "kvouter" in n or "flash" in n or "custom-call" in n:
+        if "pallas" in n or "pallas_call" in w or "shared_attention" in w:
             buckets["pallas attention"] += dur
-        elif "decoder" in w:
-            buckets["vae decode"] += dur
-        elif "encoder" in w:
-            buckets["vae encode"] += dur
-        elif "up_blocks" in w:
-            buckets["unet up"] += dur
-        elif "down_blocks" in w:
-            buckets["unet down"] += dur
-        elif "mid_block" in w:
-            buckets["unet mid"] += dur
-        elif "preprocess" in w or "resize" in w:
-            buckets["preprocess"] += dur
         elif "copy" in n or "transpose" in n or "bitcast" in n:
             buckets["copy/transpose"] += dur
+        elif "vae_decode" in w or "decoder" in w:
+            buckets["vae decode"] += dur
+        elif "vae_encode" in w or "encoder" in w:
+            buckets["vae encode"] += dur
+        elif "unet" in w:
+            buckets["unet"] += dur
+        elif "preprocess" in w or "resize" in w:
+            buckets["preprocess"] += dur
         else:
             buckets["other"] += dur
     print("\nstage buckets (ms/iter):")

@@ -31,3 +31,32 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: the compile-heavy modules (jitted train steps, full pipelines,
+# Pallas-vs-XLA sweeps) dominate the ~50-min full-suite wall time on this
+# 1-CPU box. They are auto-marked `slow` so `pytest -m "not slow"` gives a
+# fast pre-commit core; the full suite is unchanged (no default deselection).
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_coach",                     # jitted G/D steps + scan dispatch compiles
+    "test_full_recipe",               # the full 10-term training recipe
+    "test_serving",                   # engine compiles x engine variants
+    "test_checkpoint_first_contact",  # full synthetic .pt -> image pipelines
+    "test_gan",                       # backbone zoo forward/backward
+    "test_shared_attention_kernel",   # Pallas-vs-XLA parity sweeps
+    "test_flash_vjp",                 # Pallas backward parity sweeps
+    "test_multihost",                 # two Coach constructions
+    "test_int8_calibration",          # engine rebuild + calibration passes
+    "test_faceid",                    # restore forwards with FaceID branch
+    "test_restorer",                  # end-to-end tiny restore pipelines
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -277,3 +277,76 @@ def test_per_sample_blur_matches_host_kernel():
         )
     )[0]
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pos_neg_reg_per_sample_b1_parity():
+    """At B=1 with a valid index, pos_neg_reg_loss_per_sample is bit-equal to
+    the reference-shaped pos_neg_reg_loss on the whole-batch means."""
+    from instantrestore_tpu.training.losses.composite import (
+        pos_neg_reg_loss_per_sample,
+    )
+
+    rng = np.random.default_rng(11)
+    means = jnp.asarray(rng.uniform(0.1, 5.0, (5,)).astype(np.float32))
+    for negative in (False, True):
+        for tgt in (0, 3):
+            want = float(pos_neg_reg_loss(means, jnp.asarray(tgt), negative=negative))
+            got = float(
+                pos_neg_reg_loss_per_sample(
+                    means[None], jnp.asarray([tgt], jnp.int32), negative=negative
+                )
+            )
+            assert got == pytest.approx(want, abs=0.0), (negative, tgt)
+    # invalid index masks the sample out entirely
+    assert float(
+        pos_neg_reg_loss_per_sample(
+            means[None], jnp.asarray([-1], jnp.int32), negative=False
+        )
+    ) == 0.0
+
+
+def test_pos_neg_reg_per_sample_batch2_distinct_indices():
+    """B=2 with two DIFFERENT swap indices: each sample is scored against its
+    own segment (the reference's batch-1 indexing would score both against
+    sample 0's index — coach.py:649,665 TODO)."""
+    from instantrestore_tpu.training.losses.composite import (
+        pos_neg_reg_loss_per_sample,
+    )
+
+    rng = np.random.default_rng(12)
+    means = jnp.asarray(rng.uniform(0.1, 5.0, (2, 5)).astype(np.float32))
+    idx = jnp.asarray([1, 3], jnp.int32)
+    got = float(pos_neg_reg_loss_per_sample(means, idx, negative=False))
+    want = 0.5 * (
+        float(pos_neg_reg_loss(means[0], jnp.asarray(1), negative=False))
+        + float(pos_neg_reg_loss(means[1], jnp.asarray(3), negative=False))
+    )
+    assert got == pytest.approx(want, rel=1e-6)
+    # one invalid sample: the mean is over the single valid row
+    got_masked = float(
+        pos_neg_reg_loss_per_sample(
+            means, jnp.asarray([-1, 3], jnp.int32), negative=True
+        )
+    )
+    want_masked = float(pos_neg_reg_loss(means[1], jnp.asarray(3), negative=True))
+    assert got_masked == pytest.approx(want_masked, rel=1e-6)
+
+
+def test_reference_usage_means_per_sample_sums_to_batch_means():
+    from instantrestore_tpu.training.losses.composite import (
+        reference_usage_means_per_sample,
+    )
+
+    rng = np.random.default_rng(13)
+    q0, q1 = 4, 9
+    p0 = rng.uniform(0, 1, (3, 2, q0, 5 * q0)).astype(np.float32)
+    p1 = rng.uniform(0, 1, (3, 1, q1, 5 * q1)).astype(np.float32)
+    probs = [jnp.asarray(p0), jnp.asarray(p1)]
+    per_sample = np.asarray(
+        reference_usage_means_per_sample(probs, jnp.asarray(1), [q0, q1])
+    )
+    assert per_sample.shape == (3, 5)
+    whole = np.asarray(reference_usage_means(probs, jnp.asarray(1), [q0, q1]))
+    np.testing.assert_allclose(per_sample.sum(axis=0), whole, rtol=1e-5)
+    want0 = p1[0].reshape(1, q1, 5, q1).sum(axis=(0, 1, 3))
+    np.testing.assert_allclose(per_sample[0], want0, rtol=1e-5)

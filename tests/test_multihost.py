@@ -1,0 +1,251 @@
+"""Multi-host (multi-process) training path: process-sliced data feeding,
+global-array assembly, jax.distributed bootstrap, and process-0-only
+logging/checkpointing (VERDICT r3 item 3 — accelerate-launch multi-node
+parity, /root/reference/setup.sh:4, coach.py:52-61).
+
+A real multi-process run needs N hosts; these tests exercise every branch
+single-process: the loader slicing math is pure host code, the
+make_array_from_process_local_data path is exact at process_count=1, and the
+Coach branching is driven by faking jax.process_index/process_count."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantrestore_tpu.data.loader import DataLoader
+from instantrestore_tpu.parallel.mesh import (
+    init_distributed,
+    is_primary,
+    make_mesh,
+    multihost_shard_batch,
+    multihost_shard_stacked_batch,
+    shard_batch,
+    shard_stacked_batch,
+)
+
+
+class _IdentityDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.int32(i)}
+
+
+def _collate(items):
+    return {"idx": np.asarray([it["idx"] for it in items], np.int32)}
+
+
+def test_loader_process_slices_disjoint_and_covering():
+    """Every process computes the identical global shuffle and takes its
+    contiguous 1/P slice of each global batch — disjoint, covering, in mesh
+    order (the DistributedSampler role)."""
+    ds = _IdentityDataset(16)
+    loaders = [
+        DataLoader(ds, 8, shuffle=True, num_workers=1, seed=3,
+                   collate_fn=_collate, process_index=pi, process_count=2)
+        for pi in range(2)
+    ]
+    global_loader = DataLoader(ds, 8, shuffle=True, num_workers=1, seed=3,
+                               collate_fn=_collate)
+    per_proc = [list(ld) for ld in loaders]
+    global_batches = list(global_loader)
+    assert len(per_proc[0]) == len(global_batches) == 2
+    for b0, b1, g in zip(per_proc[0], per_proc[1], global_batches):
+        assert b0["idx"].shape == (4,) and b1["idx"].shape == (4,)
+        # concatenated process slices reproduce the global batch exactly
+        np.testing.assert_array_equal(
+            np.concatenate([b0["idx"], b1["idx"]]), g["idx"]
+        )
+        assert not set(b0["idx"]) & set(b1["idx"])
+
+
+def test_loader_multihost_validation_errors():
+    ds = _IdentityDataset(8)
+    with pytest.raises(ValueError, match="divide evenly"):
+        DataLoader(ds, 7, process_count=2, collate_fn=_collate)
+    with pytest.raises(ValueError, match="drop_last"):
+        DataLoader(ds, 8, process_count=2, drop_last=False, collate_fn=_collate)
+
+
+def test_multihost_shard_matches_single_process_shard():
+    """At process_count=1 the make_array_from_process_local_data path must
+    produce the same values and shardings as plain shard_batch — the Coach
+    can switch between them purely on process_count."""
+    mesh = make_mesh(jax.devices())
+    batch = {
+        "image": np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3),
+        "valid_indices": np.full((8,), 4, np.int32),
+    }
+    a = shard_batch(mesh, batch)
+    b = multihost_shard_batch(mesh, batch)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding
+
+    stacked = {"image": np.stack([batch["image"]] * 3)}
+    c = shard_stacked_batch(mesh, stacked)
+    d = multihost_shard_stacked_batch(mesh, stacked)
+    np.testing.assert_array_equal(np.asarray(c["image"]), np.asarray(d["image"]))
+    assert c["image"].sharding == d["image"].sharding
+
+
+def test_is_primary_single_process():
+    assert is_primary()
+
+
+def test_init_distributed_noop_when_client_exists(monkeypatch):
+    """A second init on a live distributed client must be a no-op (never
+    re-touch the coordinator — a second client on a shared backend hangs)."""
+    from jax._src.distributed import global_state
+
+    called = []
+    monkeypatch.setattr(global_state, "client", object(), raising=False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw),
+    )
+    init_distributed()
+    assert called == []
+
+
+def test_init_distributed_passes_explicit_topology(monkeypatch):
+    from jax._src.distributed import global_state
+
+    called = []
+    monkeypatch.setattr(global_state, "client", None, raising=False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: called.append(kw)
+    )
+    init_distributed("host:1234", num_processes=4, process_id=2)
+    assert called == [{
+        "coordinator_address": "host:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }]
+
+
+# ---------------------------------------------------------------------------
+# Coach branching under a faked 2-process topology
+# ---------------------------------------------------------------------------
+
+from tests.test_coach import TINY_STATICS, TINY_VIT  # noqa: E402
+
+
+def _tiny_cfg(tmp_path, data_root, batch_size):
+    from instantrestore_tpu.configs.config import TrainConfig
+
+    train_root, val_root = data_root
+    cfg = TrainConfig()
+    cfg.compute.batch_size = batch_size
+    cfg.compute.test_batch_size = max(2, batch_size - batch_size % 2)
+    cfg.compute.workers = 1
+    cfg.data.data_root = str(train_root)
+    cfg.data.val_data_root = str(val_root)
+    cfg.data.dataset_type = "face_restore"
+    cfg.data.resolution = 64
+    cfg.log.exp_root = str(tmp_path)
+    cfg.log.exp_name = "mh"
+    cfg.log.log2wandb = False
+    cfg.steps.max_steps = 1
+    cfg.optim.lambda_lpips = 0.0
+    cfg.optim.lambda_ssim = 0.0
+    cfg.optim.lambda_gan = 0.0
+    cfg.model.lora_rank_unet = 4
+    cfg.model.lora_rank_vae = 4
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mh_data")
+    rng = np.random.default_rng(0)
+    for ident in ["a", "b"]:
+        d = root / ident / "cropped_images"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (96, 96, 3), np.uint8)
+            ).save(d / f"{i}.png")
+    val = tmp_path_factory.mktemp("mh_val") / "id1"
+    (val / "conditioning").mkdir(parents=True)
+    for name in ["degraded.png", "gt.png", "conditioning/c0.png"]:
+        Image.fromarray(
+            rng.integers(0, 255, (96, 96, 3), np.uint8)
+        ).save(val / name)
+    return root, val.parent
+
+
+def _tiny_params():
+    from instantrestore_tpu.models.restorer import init_restorer_params
+
+    params = init_restorer_params(
+        jax.random.PRNGKey(0), TINY_STATICS, lora_rank_unet=4, lora_rank_vae=4
+    )
+    params["caption_enc"] = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 16))
+    return params
+
+
+def test_coach_nonprimary_process_writes_nothing(tmp_path, data_root, monkeypatch):
+    """On a non-zero process the Coach must not create logs, configs, or
+    checkpoints — process 0 owns all host-side artifacts."""
+    from instantrestore_tpu.training.coach import Coach
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    cfg = _tiny_cfg(tmp_path, data_root, batch_size=jax.device_count())
+    coach = Coach(cfg, statics=TINY_STATICS, params=_tiny_params(),
+                  vit_cfg=TINY_VIT)
+    assert not coach.primary
+    assert coach.process_count == 2
+    # loaders feed this process's slice of the global batch
+    assert coach.train_loader.process_index == 1
+    assert coach.train_loader.process_count == 2
+    assert coach.test_loader.drop_last
+    coach.save("should_not_exist")
+    exp_dir = cfg.log.exp_dir
+    assert not (exp_dir / "logs").exists()
+    assert not (exp_dir / "config.yaml").exists()
+    assert not (exp_dir / "checkpoints").exists()
+
+
+def test_coach_primary_process_keeps_artifacts(tmp_path, data_root, monkeypatch):
+    from instantrestore_tpu.training import checkpoints as ckpt_mod
+    from instantrestore_tpu.training.coach import Coach
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    # orbax refuses to write under a FAKED process_count>1 without a real
+    # jax.distributed init; the writer itself is covered by test_coach —
+    # here only OUR process-0 gating is under test
+    written = []
+    monkeypatch.setattr(
+        ckpt_mod, "save_checkpoint",
+        lambda out, payload, **kw: written.append(out),
+    )
+    cfg = _tiny_cfg(tmp_path, data_root, batch_size=jax.device_count())
+    coach = Coach(cfg, statics=TINY_STATICS, params=_tiny_params(),
+                  vit_cfg=TINY_VIT)
+    assert coach.primary
+    assert (cfg.log.exp_dir / "config.yaml").exists()
+    assert (cfg.log.exp_dir / "logs").exists()
+    coach.save("p0")
+    assert len(written) == 1 and written[0].name == "p0"
+
+
+def test_coach_multihost_indivisible_batch_raises(tmp_path, data_root, monkeypatch):
+    from instantrestore_tpu.training.coach import Coach
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    cfg = _tiny_cfg(tmp_path, data_root, batch_size=jax.device_count() + 1)
+    with pytest.raises(ValueError, match="divisible"):
+        Coach(cfg, statics=TINY_STATICS, params=_tiny_params(), vit_cfg=TINY_VIT)

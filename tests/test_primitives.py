@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -116,11 +117,14 @@ def test_timestep_embedding_matches_diffusers_formula():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
 
 
-def test_upsample2x_conv_matches_materialized(rng, monkeypatch):
-    """Subpixel-decomposed upsample+conv == nearest_upsample_2x then conv2d
-    (identical math, fp32-exact), including borders and bias. The subpixel
-    path is opt-in (measured slower in-situ) so the test forces it on."""
-    monkeypatch.setattr(P, "_SUBPIXEL_UP", True)
+@pytest.mark.parametrize("mode", ["1", "2", "3"])
+def test_upsample2x_conv_matches_materialized(rng, monkeypatch, mode):
+    """Every subpixel upsample+conv mode == nearest_upsample_2x then conv2d
+    (identical math, fp32-exact), including borders and bias: "1" phase convs
+    + transpose interleave, "2" phase convs + pairwise stack-reshape, "3" one
+    lhs-dilated 4x4 conv. All opt-in (perf candidates), so the test forces
+    each on."""
+    monkeypatch.setattr(P, "_SUBPIXEL_UP", mode)
     x = jnp.asarray(rng.normal(size=(2, 7, 5, 4)), jnp.float32)
     p = {
         "kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 6)), jnp.float32),
