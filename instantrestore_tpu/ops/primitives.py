@@ -37,7 +37,7 @@ _CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
 # slower), "2" 4 phase convs + pairwise stack-reshape interleave (no big
 # transpose), "3" ONE lhs-dilated 4x4 conv (zero-insertion upsample folded
 # into the kernel; XLA writes the 2x output directly — no interleave at all)
-_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "0")
+_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "3")
 _CONV_S2D = os.environ.get("INSTANTRESTORE_CONV_S2D", "0") == "1"
 _CONV_TAPMM = os.environ.get("INSTANTRESTORE_CONV_TAPMM", "0") == "1"
 
@@ -233,26 +233,7 @@ def conv2d(
         # static per-out-channel weight scale; hits the MXU's 2x int8 rate on
         # v5e. NOT parity-exact — serving-only, off by default (breaks the
         # <1e-2 reference-parity gate by design).
-        xf = x.astype(jnp.float32)
-        if "a_scale" in p:
-            # CALIBRATED static scale (apply_int8_calibration): the quantize
-            # chain is pure elementwise — no abs-max reduction pass — so XLA
-            # fuses it into the producing GroupNorm/SiLU epilogue. This is
-            # what makes int8 a net win at serving batch sizes (the dynamic
-            # per-call reduction measured as a regression on the UNet,
-            # ROADMAP round-2 #4). Out-of-calibration activations clip.
-            a_scale = p["a_scale"].astype(jnp.float32)
-        else:
-            # DYNAMIC per-SAMPLE activation scale: co-batched images must not
-            # affect each other's quantization grid (reproducibility across
-            # batch makeup)
-            a_scale = jnp.maximum(
-                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0,
-                1e-12,
-            )
-            if _INT8_CALIB_RECORDS is not None and "calib_slot" in p:
-                _INT8_CALIB_RECORDS.append((p["calib_slot"], jnp.max(a_scale)))
-        x8 = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        x8, a_scale = _quantize_act_int8(p, x)
         y = jax.lax.conv_general_dilated(
             x8,
             p["kernel_int8"],
@@ -293,12 +274,50 @@ def conv2d(
     return y
 
 
-def quantize_conv_int8(p: dict) -> dict:
+def _quantize_act_int8(p: dict, x: jnp.ndarray):
+    """Activation quantization shared by conv2d's int8 branch and the folded
+    int8 upsampler in upsample2x_conv: returns (x_int8, a_scale fp32).
+
+    With a CALIBRATED static scale (apply_int8_calibration) the quantize
+    chain is pure elementwise — no abs-max reduction pass — so XLA fuses it
+    into the producing GroupNorm/SiLU epilogue; that is what makes int8 a
+    net win at serving batch sizes (the dynamic per-call reduction measured
+    as a regression on the UNet, ROADMAP round-2 #4). Out-of-calibration
+    activations clip. Without one, a DYNAMIC per-SAMPLE scale is used so
+    co-batched images never affect each other's quantization grid, and the
+    observed scale is appended to the calibration side-channel when a
+    `with_int8_records` trace is active."""
+    xf = x.astype(jnp.float32)
+    if "a_scale" in p:
+        a_scale = p["a_scale"].astype(jnp.float32)
+    else:
+        a_scale = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0,
+            1e-12,
+        )
+        if _INT8_CALIB_RECORDS is not None and "calib_slot" in p:
+            _INT8_CALIB_RECORDS.append((p["calib_slot"], jnp.max(a_scale)))
+    x8 = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    return x8, a_scale
+
+
+def quantize_conv_int8(p: dict, *, fold_upsample: bool = False) -> dict:
     """Conv param dict -> int8 weight layout consumed by conv2d's int8
     branch: symmetric per-out-channel weight quantization. LoRA must be
-    merged first (models/lora.py::merge_lora)."""
+    merged first (models/lora.py::merge_lora).
+
+    fold_upsample: for convs that are only ever applied through
+    upsample2x_conv, quantize the FOLDED 4x4 subpixel kernel (mode-3 math,
+    see upsample2x_conv) instead of the raw 3x3 — the int8 engine then runs
+    the one lhs-dilated conv rather than materializing the 2x nearest grid.
+    Folding before quantizing also beats folding quantized taps: K4 entries
+    are sums of 4 fp taps quantized once, not sums of 4 already-rounded
+    int8 values."""
     assert "lora_A" not in p, "merge LoRA before int8 quantization"
     k = p["kernel"].astype(jnp.float32)
+    if fold_upsample and k.ndim == 4 and k.shape[0] == 3 and k.shape[1] == 3:
+        kp = jnp.pad(k, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        k = kp[:-1, :-1] + kp[1:, :-1] + kp[:-1, 1:] + kp[1:, 1:]  # [4,4,i,o]
     scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
     k8 = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
     q = {kk: v for kk, v in p.items() if kk != "kernel"}
@@ -326,8 +345,13 @@ def quantize_block_convs_int8(bp: dict) -> dict:
         nb["resnets"] = [q_res(r) for r in nb["resnets"]]
     for samplers in ("downsamplers", "upsamplers"):
         if samplers in nb:
+            # upsampler convs only ever run through upsample2x_conv: fold the
+            # subpixel 4x4 kernel before quantizing when mode 3 is active so
+            # the int8 engine skips the materialized 2x grid too.
+            fold = samplers == "upsamplers" and _SUBPIXEL_UP == "3"
             nb[samplers] = [
-                {**s, "conv": quantize_conv_int8(s["conv"])} for s in nb[samplers]
+                {**s, "conv": quantize_conv_int8(s["conv"], fold_upsample=fold)}
+                for s in nb[samplers]
             ]
     return nb
 
@@ -524,19 +548,44 @@ def upsample2x_conv(
     Falls back to the materialized path for LoRA/int8 kernels (training's
     factored conv-LoRA keeps its exact peft semantics).
 
-    MEASURED NET-NEUTRAL-TO-SLOWER round 3 (opt-in via
-    INSTANTRESTORE_SUBPIXEL_UP=1): the 4 phase convs do land (~2.8 ms each vs
-    25 ms fused), but the depth-to-space interleave materializes as
-    stack+transpose copies (~6.5 + 3.3 ms per upsampler) plus pad/concat
-    fusions of the same size — the copies eat the MAC savings. Revisit only
-    with a Pallas epilogue that writes phases strided into the output.
+    Mode history (INSTANTRESTORE_SUBPIXEL_UP; in-situ batch-16/512px):
+    - "1" (round 3): 4 phase convs + 6-D transpose depth-to-space — the
+      phase convs land (~2.8 ms each vs 25 ms fused) but the interleave
+      copies (~6.5 + 3.3 ms per upsampler) eat the MAC savings. Net worse.
+    - "2" (round 4): pairwise stack-reshape interleave — 31.1 faces/sec,
+      still copy-bound.
+    - "3" (round 4, DEFAULT): one lhs-dilated conv, no interleave at all.
+      nearest-2x is ones2x2 (*) zero-dilated x, so
+      conv3x3(up2x(x)) == conv4x4'(dilate2(x)) with
+      K4[u,v] = sum_{a,b in {0,1}} W[u-1+a, v-1+b]; XLA writes the 2x grid
+      directly from the conv. Measured 35.67 faces/sec vs 32.87 materialized
+      (448.5 vs 486.8 ms/batch-16) — the decoder's two roofline upsampler
+      convs drop ~2.25x in MACs with zero relayout cost. "0" opts out.
     """
-    if (
-        _SUBPIXEL_UP == "0"
-        or "lora_A" in p
-        or "kernel_int8" in p
-        or p["kernel"].shape[0] != 3
-    ):
+    if "kernel_int8" in p:
+        if p["kernel_int8"].shape[0] == 4:
+            # pre-folded int8 subpixel kernel (quantize_conv_int8 with
+            # fold_upsample=True): one lhs-dilated int8 conv, same exact
+            # decomposition as fp mode "3" below, at the MXU int8 rate.
+            dtype = x.dtype
+            x8, a_scale = _quantize_act_int8(p, x)
+            y = jax.lax.conv_general_dilated(
+                x8,
+                p["kernel_int8"],
+                window_strides=(1, 1),
+                padding=[(2, 2), (2, 2)],
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (a_scale * p["kernel_scale"])).astype(
+                dtype
+            )
+            if "bias" in p:
+                y = y + p["bias"].astype(dtype)
+            return y
+        return conv2d(p, nearest_upsample_2x(x), lora_scaling=lora_scaling)
+    if _SUBPIXEL_UP == "0" or "lora_A" in p or p["kernel"].shape[0] != 3:
         return conv2d(p, nearest_upsample_2x(x), lora_scaling=lora_scaling)
     dtype = x.dtype
     bsz, hh, ww, cin = x.shape
