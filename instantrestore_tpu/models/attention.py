@@ -30,12 +30,18 @@ reference path and the training path (landmark-attention loss needs probs).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from instantrestore_tpu.ops.primitives import dense
+
+# Opt-in merged q/k/v projection — measured slower end to end (see
+# _qkv_project docstring for the numbers); kept for re-evaluation on other
+# chip generations / batch shapes.
+_MERGED_QKV = os.environ.get("INSTANTRESTORE_MERGED_QKV", "0") == "1"
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
@@ -48,6 +54,58 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     """[B, h, S, d] -> [B, S, h*d]"""
     b, h, s, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _qkv_project(
+    p: dict,
+    hidden: jnp.ndarray,
+    ctx: jnp.ndarray,
+    *,
+    self_attn: bool,
+    lora_scaling: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """to_q/to_k/to_v as ONE merged matmul when the inputs coincide.
+
+    Self-attention runs q/k/v off the same activations, so the three [C, C]
+    kernels concatenate into one [C, 3C] matmul (cross-attention merges k/v
+    into [Dc, 2C]). Per-output-column math is unchanged — each column is the
+    same contraction over the same K in the same order — so results are
+    bit-identical to three separate dense() calls (tests/test_attention.py::
+    test_merged_qkv_projection_bit_exact).
+
+    MEASURED A REGRESSION round 4, so OPT-IN via INSTANTRESTORE_MERGED_QKV=1:
+    the hypothesis was fewer, wider MXU dispatches (the 64^2-level
+    [65536, 320] x [320, 320] projections profile at ~30% MXU from N=K=320
+    tile padding; merged N=960 pads to 1024) — but end-to-end serving
+    measured 448.3 -> 453.1 ms/batch-16 (35.69 -> 35.3 faces/sec, two runs
+    each). The runtime weight concat + lost per-projection fusion outweigh
+    the padding win. LoRA'd projections (training) always fall back to
+    per-projection dense(): factored deltas keep exact peft semantics and
+    gradients flow through the per-projection params.
+    """
+    names = ("to_q", "to_k", "to_v") if self_attn else ("to_k", "to_v")
+    fusable = _MERGED_QKV and all(
+        "lora_A" not in p[n2] and "bias" not in p[n2] for n2 in names
+    )
+    if not fusable:
+        q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
+        k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
+        v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
+        return q, k_raw, v_raw
+    dtype = hidden.dtype
+    widths = [p[n2]["kernel"].shape[1] for n2 in names]
+    w = jnp.concatenate(
+        [p[n2]["kernel"].astype(dtype) for n2 in names], axis=1
+    )
+    if self_attn:
+        qkv = hidden @ w
+        return tuple(
+            jnp.split(qkv, [widths[0], widths[0] + widths[1]], axis=-1)
+        )
+    q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
+    kv = ctx @ w
+    k_raw, v_raw = jnp.split(kv, [widths[0]], axis=-1)
+    return q, k_raw, v_raw
 
 
 def adain_stats(v: jnp.ndarray, axis: int, eps: float = 1e-5):
@@ -194,17 +252,19 @@ def attention(
     aux = {}
     ctx = hidden if encoder_hidden is None else encoder_hidden
 
-    q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
     if use_faceid and encoder_hidden is not None:
         # FaceIDAttnProcessor (attn_processors.py:100-180): replace the text
         # K/V with projections of ArcFace embeddings — face_projection
         # (512 -> cross_dim) then bias-free to_k/to_v_face_embed.
+        q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
         ctx = dense(p["face_projection"], ctx)
         k_raw = dense(p["to_k_face_embed"], ctx)
         v_raw = dense(p["to_v_face_embed"], ctx)
     else:
-        k_raw = dense(p["to_k"], ctx, lora_scaling=lora_scaling)
-        v_raw = dense(p["to_v"], ctx, lora_scaling=lora_scaling)
+        q, k_raw, v_raw = _qkv_project(
+            p, hidden, ctx, self_attn=encoder_hidden is None,
+            lora_scaling=lora_scaling,
+        )
 
     q = _split_heads(q, heads)
     k = _split_heads(k_raw, heads)

@@ -1286,13 +1286,18 @@ def shared_attention_identity(
     *,
     scale: float,
     use_adain: bool,
-    block_q: int = 1024,
+    block_q: int = 256,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Refs-only fused shared attention reading reference KV straight from
     the identity cache (scalar-prefetch block indexing). Numerics identical
     to shared_flash_attention(include_input=False) with
-    v_affine=adain_affine(v_in, ref_v[ids])."""
+    v_affine=adain_affine(v_in, ref_v[ids]).
+
+    block_q defaults to 256: [bq, 2*bk] fp32 score tiles keep the 64^2 layer
+    under the scoped-VMEM budget at the shipped bk=512 (the sweep knob for
+    scripts/sweep_paired_kernel.py; the unpaired fallback still honors any
+    value)."""
     b, h, sq, d = q.shape
     interpret = _interpret_default() if interpret is None else interpret
     if cache.paired:
@@ -1318,7 +1323,7 @@ def shared_attention_identity(
 
     if cache.paired:
         p_pairs = n // 2
-        bq = min(block_q, sq, 256)
+        bq = min(block_q, sq)
         bk = cache.block_k  # pack interleave period — must match the cache
         assert sq % bq == 0 and s % bk == 0, (sq, s, bq, bk)
         q_cat = jnp.concatenate([q, q], axis=-1)

@@ -178,3 +178,47 @@ def test_widen_kv_ordering(rng):
     np.testing.assert_allclose(wk[:s], np.asarray(k)[0], atol=1e-6)
     np.testing.assert_allclose(wk[s : 2 * s], np.asarray(ref_k)[0, 0, 0], atol=1e-6)
     np.testing.assert_allclose(wk[2 * s :], np.asarray(ref_k)[0, 1, 0], atol=1e-6)
+
+
+def test_merged_qkv_projection_bit_exact(rng, monkeypatch):
+    """The merged q/k/v (self) and k/v (cross) projection matmul is
+    bit-identical to three separate dense() calls: per-output-column math is
+    the same contraction in the same order (models/attention.py::_qkv_project;
+    zero-LoRA params force the per-projection fallback, which is
+    mathematically the identity delta). The merged path is opt-in
+    (INSTANTRESTORE_MERGED_QKV — measured slower end to end round 4), so
+    force it on here to keep its numerics covered."""
+    import instantrestore_tpu.models.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_MERGED_QKV", True)
+    b, s, c, heads = 2, 16, 64, 4
+    h = jnp.asarray(_mk(rng, b, s, c))
+    p = _params(rng, c)
+
+    def with_zero_lora(params):
+        out = {}
+        for name, leaf in params.items():
+            if name in ("to_q", "to_k", "to_v"):
+                kin, kout = leaf["kernel"].shape
+                leaf = dict(
+                    leaf,
+                    lora_A=jnp.zeros((kin, 2)),
+                    lora_B=jnp.zeros((2, kout)),
+                )
+            out[name] = leaf
+        return out
+
+    fused, _ = attention(p, h, heads=heads)
+    sep, _ = attention(with_zero_lora(p), h, heads=heads)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(sep))
+
+    ctx = jnp.asarray(_mk(rng, b, 7, 48))
+    p2 = {
+        "to_q": {"kernel": jnp.asarray(_mk(rng, c, c))},
+        "to_k": {"kernel": jnp.asarray(_mk(rng, 48, c))},
+        "to_v": {"kernel": jnp.asarray(_mk(rng, 48, c))},
+        "to_out": {"kernel": jnp.asarray(_mk(rng, c, c)), "bias": jnp.asarray(_mk(rng, c))},
+    }
+    fused_x, _ = attention(p2, h, heads=heads, encoder_hidden=ctx)
+    sep_x, _ = attention(with_zero_lora(p2), h, heads=heads, encoder_hidden=ctx)
+    np.testing.assert_array_equal(np.asarray(fused_x), np.asarray(sep_x))
