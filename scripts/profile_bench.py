@@ -153,6 +153,50 @@ def main():
     for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
         print(f"  {k:18} {v/1e3/3:8.2f}")
 
+    # stage x op-kind matrix over ALL ops (not just the top-50): separates
+    # conv/matmul time (roofline-bound) from the elementwise/reduce fat
+    # (GN stats, SiLU, adds) that a fusion pass could still eat
+    def kind_of(name, w):
+        n = name.lower()
+        if "pallas" in n or "pallas_call" in w:
+            return "pallas"
+        if "conv" in w or "conv" in n:
+            return "conv"
+        if "dot" in w or "dot" in n or "einsum" in w:
+            return "matmul"
+        if "copy" in n or "transpose" in n or "bitcast" in n:
+            return "copy"
+        if "reduce" in w or "reduce" in n or "norm" in w or "var" in w or "mean" in w:
+            return "reduce"
+        return "elementwise"
+
+    matrix = defaultdict(float)
+    for name, dur in agg.items():
+        w = meta.get(name, "").lower()
+        stage = "other"
+        for s in ("vae_decode", "vae_encode", "unet", "preprocess"):
+            if s in w:
+                stage = s
+                break
+        matrix[(stage, kind_of(name, w))] += dur
+    print("\nstage x kind (ms/iter):")
+    stages = sorted({s for s, _ in matrix})
+    kinds = ["conv", "pallas", "matmul", "reduce", "elementwise", "copy"]
+    print(f"  {'stage':12}" + "".join(f"{k:>12}" for k in kinds))
+    for s in stages:
+        row = "".join(f"{matrix.get((s, k), 0.0)/1e3/3:12.2f}" for k in kinds)
+        print(f"  {s:12}{row}")
+
+    # top non-conv, non-pallas ops — the fusion-pass candidates
+    print("\ntop non-conv/non-pallas ops (us/iter):")
+    rest = [
+        (n, d) for n, d in agg.items()
+        if kind_of(n, meta.get(n, "").lower()) in ("reduce", "elementwise", "copy")
+    ]
+    for name, dur in sorted(rest, key=lambda kv: -kv[1])[:25]:
+        where = meta.get(name, "")
+        print(f"{dur/3:12.0f}  {name[:40]}  {where[-90:]}")
+
 
 if __name__ == "__main__":
     main()
