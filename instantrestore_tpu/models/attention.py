@@ -56,6 +56,42 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _to_out_from_heads(
+    p: dict, out_heads: jnp.ndarray, *, lora_scaling: float
+) -> jnp.ndarray:
+    """to_out applied DIRECTLY to the head-split [B, h, S, d] tensor.
+
+    Equivalent to ``dense(p, _merge_heads(out_heads))`` — the einsum
+    contracts (h, d) jointly, which is the merged 320-column contraction in
+    the identical h-major/d-minor order, so results are bit-equal — but it
+    removes the merge TRANSPOSE from the graph. That transpose is what
+    poisoned the 64^2 transformer-block tails in round 4: XLA's layout
+    assignment made it a free bitcast by giving the merged [16, 4096, 320]
+    activation a spatial-in-lanes {1,2,0} layout, which then propagated
+    through the residual adds into ff.net.2 and proj_out, forcing the
+    pathological EmitInputBatchInLanes convolution emitter (5 fused block
+    tails x 1.57 ms at ~21% MXU, profiled via scripts/profile_bench.py +
+    compiled-HLO layout inspection). A multi-dim-contraction dot keeps the
+    relayout INSIDE the dot emitter and emits a standard-layout output, so
+    nothing downstream inherits the poisoned layout.
+    """
+    b, h, s, d = out_heads.shape
+    dtype = out_heads.dtype
+    w = p["kernel"].astype(dtype)
+    o = w.shape[1]
+    y = jnp.einsum("bhsd,hdo->bso", out_heads, w.reshape(h, d, o))
+    if "lora_A" in p:
+        a = p["lora_A"].astype(dtype)
+        r = a.shape[1]
+        ya = jnp.einsum("bhsd,hdr->bsr", out_heads, a.reshape(h, d, r))
+        y = y + (ya @ p["lora_B"].astype(dtype)) * jnp.asarray(
+            lora_scaling, dtype
+        )
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
 def _qkv_project(
     p: dict,
     hidden: jnp.ndarray,
@@ -321,8 +357,7 @@ def attention(
                 "bhqk,bhkd->bhqd", probs.astype(wv.dtype), wv,
                 preferred_element_type=jnp.float32,
             ).astype(hidden.dtype)
-        out = _merge_heads(out)
-        out = dense(p["to_out"], out, lora_scaling=lora_scaling)
+        out = _to_out_from_heads(p["to_out"], out, lora_scaling=lora_scaling)
         return out, aux
 
     if use_fused and not save_probs:
@@ -358,6 +393,5 @@ def attention(
             "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(hidden.dtype)
 
-    out = _merge_heads(out)
-    out = dense(p["to_out"], out, lora_scaling=lora_scaling)
+    out = _to_out_from_heads(p["to_out"], out, lora_scaling=lora_scaling)
     return out, aux

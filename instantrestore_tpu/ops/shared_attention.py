@@ -802,7 +802,7 @@ def _pack_segment_pairs(r: jnp.ndarray, bk: int) -> jnp.ndarray:
 
 def _shared_kvouter_bound_paired_kernel(
     q_ref, rk_ref, rv_ref, aff_ref, kmax_ref, o_ref,
-    acc, l_scr,
+    acc, l_scr, qcat_scr,
     *, scale, block_q, block_k, seg_len, head_dim,
 ):
     """Segment-PAIRED bound-softmax kernel: full 128-lane MXU at d=64.
@@ -810,10 +810,13 @@ def _shared_kvouter_bound_paired_kernel(
     The plain kv_outer kernels contract QK^T over d=64 lanes and emit P@V
     into 64 output lanes — both matmuls at half MXU width. Here each grid
     step processes a PAIR of reference segments packed block-diagonally on
-    the lane axis (done once in XLA, zeros live in HBM — no per-chunk VMEM
-    concats like the abandoned two-head packing):
+    the lane axis (K/V packed once in XLA, zeros live in HBM — no per-chunk
+    VMEM concats like the abandoned two-head packing; the duplicated
+    ``q_cat = [q | q]`` is built IN-KERNEL into a VMEM scratch once per
+    (b, h) instead: materializing it in HBM cost ~1 ms/iter of concat +
+    double q DMA at batch 16, measured round 4):
 
-        q_cat = [q | q]                      [Sq, 128]
+        q_cat = [q | q]                      [Sq, 128]  (VMEM scratch)
         K_cat chunks = [[k_even, 0],         [2*BK, 128]  (chunk-interleaved
                         [0, k_odd]]                        at pack time)
 
@@ -836,11 +839,16 @@ def _shared_kvouter_bound_paired_kernel(
     nj = pl.num_programs(2)
     d = head_dim
     sq = q_ref.shape[2]
+    qscale_in = jnp.asarray(scale * LOG2E, q_ref.dtype)
 
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
         l_scr[:] = jnp.zeros_like(l_scr)
+        # pre-scaled duplicated q, reused across segment pairs and KV chunks
+        qv = q_ref[0, 0] * qscale_in
+        qcat_scr[:, :d] = qv
+        qcat_scr[:, d:] = qv
 
     lanes = 2 * d
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
@@ -848,7 +856,6 @@ def _shared_kvouter_bound_paired_kernel(
     shift_cat = aff_ref[0, 0, 0, 1, :][None, :]
     shift_even = jnp.where(lane_idx < d, shift_cat, 0.0)  # [1, 2d]
     shift_odd = jnp.where(lane_idx >= d, shift_cat, 0.0)
-    qscale = jnp.asarray(scale * LOG2E, q_ref.dtype)
 
     def kv_body(c, _):
         start = c * 2 * block_k
@@ -860,10 +867,9 @@ def _shared_kvouter_bound_paired_kernel(
 
         def q_body(qi, _):
             qs = qi * block_q
-            q = q_ref[0, 0, pl.ds(qs, block_q), :] * qscale
-            # per-row bound recomputed from the (pre-scaled) q block: cheaper
-            # in VMEM than a [Sq, 128] scratch (the 64^2 layer sits right at
-            # the 16 MB scoped limit with double-buffered packed K/V blocks).
+            q = qcat_scr[pl.ds(qs, block_q), :]
+            # per-row bound recomputed from the (pre-scaled) q block each
+            # chunk: cheaper in VMEM than a second [Sq, lanes] fp32 scratch.
             # q is [q | q]: the lane-sum of squares double-counts, hence 0.5.
             qf = q.astype(jnp.float32)
             bound = (
@@ -917,7 +923,6 @@ def _shared_flash_attention_kvouter_bound_paired(
 
     rk_p = _pack_segment_pairs(ref_k, bk)
     rv_p = _pack_segment_pairs(ref_v, bk)
-    q_cat = jnp.concatenate([q, q], axis=-1)
 
     # aff [B, H, N, 2, d] -> packed pairs [B, H, P, 2, 2d]
     aff_pair = jnp.concatenate([aff[:, :, 0::2], aff[:, :, 1::2]], axis=-1)
@@ -936,7 +941,7 @@ def _shared_flash_attention_kvouter_bound_paired(
         kernel,
         grid=(b, h, p_pairs),
         in_specs=[
-            pl.BlockSpec((1, 1, sq, 2 * d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j: (b_, h_, 0, 0), memory_space=vmem),
             pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j: (b_, j, h_, 0, 0), memory_space=vmem),
             pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j: (b_, j, h_, 0, 0), memory_space=vmem),
             pl.BlockSpec((1, 1, 1, 2, 2 * d), lambda b_, h_, j: (b_, h_, j, 0, 0), memory_space=vmem),
@@ -949,12 +954,13 @@ def _shared_flash_attention_kvouter_bound_paired(
         scratch_shapes=[
             pltpu.VMEM((sq, 2 * d), jnp.float32),   # packed accumulator
             pltpu.VMEM((sq, 128), jnp.float32),     # row-sum denominator
+            pltpu.VMEM((sq, 2 * d), q.dtype),       # in-kernel q_cat = [q|q]
         ],
         # the 64^2 layer needs ~17 MB with double-buffered packed K/V blocks
         # — just over the default 16 MB scoped budget; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(q_cat, rk_p, rv_p, aff_pair, kmax)
+    )(q, rk_p, rv_p, aff_pair, kmax)
     return out
 
 
@@ -1326,7 +1332,6 @@ def shared_attention_identity(
         bq = min(block_q, sq)
         bk = cache.block_k  # pack interleave period — must match the cache
         assert sq % bq == 0 and s % bk == 0, (sq, s, bq, bk)
-        q_cat = jnp.concatenate([q, q], axis=-1)
         aff_pair = jnp.concatenate(
             [aff[:, :, 0::2], aff[:, :, 1::2]], axis=-1
         )  # [B, H, P, 2, 2d]
@@ -1344,7 +1349,7 @@ def shared_attention_identity(
                 num_scalar_prefetch=1,
                 grid=(b, h, p_pairs),
                 in_specs=[
-                    pl.BlockSpec((1, 1, sq, 2 * d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
+                    pl.BlockSpec((1, 1, sq, d), lambda b_, h_, j, ids_: (b_, h_, 0, 0)),
                     pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
                     pl.BlockSpec((1, 1, 1, 2 * s, 2 * d), lambda b_, h_, j, ids_: (ids_[b_], j, h_, 0, 0)),
                     pl.BlockSpec((1, 1, 1, 2, 2 * d), lambda b_, h_, j, ids_: (b_, h_, j, 0, 0)),
@@ -1356,12 +1361,13 @@ def shared_attention_identity(
                 scratch_shapes=[
                     pltpu.VMEM((sq, 2 * d), jnp.float32),
                     pltpu.VMEM((sq, 128), jnp.float32),
+                    pltpu.VMEM((sq, 2 * d), q.dtype),  # in-kernel q_cat
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             compiler_params=vmem_params,
             interpret=interpret,
-        )(ids, q_cat, cache.rk, cache.rv, aff_pair, kmax)
+        )(ids, q, cache.rk, cache.rv, aff_pair, kmax)
 
     # unpaired fallback (odd N or d>64): same bound kernel as the per-call
     # path, reference blocks identity-indexed

@@ -197,6 +197,88 @@ def main():
         where = meta.get(name, "")
         print(f"{dur/3:12.0f}  {name[:40]}  {where[-90:]}")
 
+    # per-convolution table with shapes and estimated MXU utilization: the
+    # round-4 stage x kind matrix showed UNet convs at ~38-50% MXU while the
+    # (128-multiple-channel) VAE convs sit at 84-98% — this resolves WHICH
+    # convs lose, from the HLO result/operand shapes + measured time.
+    shape_of = {}   # instruction name -> result shape string like bf16[16,64,64,320]
+    for m in re.finditer(r"%?([\w.\-]+) = ([a-z0-9]+\[[\d,]*\])", hlo):
+        shape_of[m.group(1)] = m.group(2)
+    conv_lines = {}  # fusion/conv instruction -> (result, rhs shape) for convs
+    for m in re.finditer(
+        r"%?([\w.\-]+) = ([a-z0-9]+\[[\d,]*\])[^\n]*convolution\(%?([\w.\-]+), %?([\w.\-]+)\)",
+        hlo,
+    ):
+        conv_lines[m.group(1)] = (m.group(2), shape_of.get(m.group(3), "?"),
+                                  shape_of.get(m.group(4), "?"))
+    # trace events are named after the top-level fusion; a fusion wrapping a
+    # conv keeps the conv as an inner instruction — attribute by scanning the
+    # fusion body for its called computation's convolution line
+    fusion_conv = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = [a-z0-9]+\[[\d,]*\][^\n]*fusion\([^\n]*calls=%?([\w.\-]+)",
+        hlo,
+    ):
+        fusion_conv[m.group(1)] = m.group(2)
+    comp_convs = {}  # computation name -> first conv inner instruction name
+    cur_comp = None
+    for line in hlo.splitlines():
+        mm = re.match(r"%?([\w.\-]+) \(", line.strip())
+        if line and not line.startswith(" ") and "{" in line:
+            mc = re.search(r"%?([\w.\-]+) \(", line)
+            cur_comp = mc.group(1) if mc else None
+        elif cur_comp and " convolution(" in line:
+            mi = re.match(r"\s*%?([\w.\-]+) =", line)
+            if mi and cur_comp not in comp_convs:
+                comp_convs[cur_comp] = mi.group(1)
+
+    def flops_of(res, lhs, rhs):
+        # conv FLOPs = 2 * prod(result spatial+batch+outC) * (kh*kw*inC)
+        try:
+            rdims = [int(x) for x in res.split("[")[1].rstrip("]").split(",")]
+            kdims = [int(x) for x in rhs.split("[")[1].rstrip("]").split(",")]
+        except Exception:
+            return 0
+        # rhs kernel layout on TPU HLO is usually [kh,kw,inC,outC] or
+        # [outC,inC,kh,kw]; take prod(kernel)/outC as the per-output work,
+        # where outC = the kernel dim matching the result minor dim
+        out_c = rdims[-1] if rdims else 1
+        kprod = 1
+        for x in kdims:
+            kprod *= x
+        per_out = kprod // max(out_c, 1) if out_c in kdims else kprod
+        n_out = 1
+        for x in rdims:
+            n_out *= x
+        return 2 * n_out * per_out
+
+    peak = float(os.environ.get("PROFILE_PEAK_TFLOPS", "197")) * 1e12
+    rows = []
+    for name, dur in agg.items():
+        conv = None
+        if name in conv_lines:
+            conv = conv_lines[name]
+        elif name in fusion_conv and comp_convs.get(fusion_conv[name]) :
+            inner = comp_convs[fusion_conv[name]]
+            conv = conv_lines.get(inner)
+        if conv is None and name in fusion_conv:
+            # fall back: any conv instruction whose name prefixes match
+            continue
+        if conv is None:
+            continue
+        fl = flops_of(*conv)
+        sec = dur / 3 / 1e6
+        mxu = fl / max(sec, 1e-12) / peak
+        rows.append((dur / 3, mxu, fl, conv, name))
+    if rows:
+        print("\nconvolutions by time (us/iter, est-MXU%, GFLOP, result, kernel):")
+        for dur_us, mxu, fl, conv, name in sorted(rows, key=lambda r: -r[0])[:40]:
+            w = meta.get(name, "")
+            print(
+                f"{dur_us:10.0f}  {100*mxu:5.1f}%  {fl/1e9:8.1f}  "
+                f"{conv[0]:>22} k={conv[2]:>20}  {w[-60:]}"
+            )
+
 
 if __name__ == "__main__":
     main()
