@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import random
+import zlib
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -257,7 +258,13 @@ class RestoreDataset(CoachDataset):
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         path = self.paths[idx]
         identity_dir = path.parent.parent
-        rng = random.Random(hash((self._seed, idx, path.name)) & 0x7FFFFFFF)
+        # stable per-item seed: Python's str hash is randomized PER PROCESS
+        # (PYTHONHASHSEED), so hash(path.name) would give every process of a
+        # multi-host run — and every re-run — a different degradation stream.
+        # crc32 is process-stable, keeping items reproducible across hosts,
+        # runs, and resume (the torch reference gets this from worker seeds).
+        stable = zlib.crc32(path.name.encode("utf-8"))
+        rng = random.Random((hash((self._seed, idx)) ^ stable) & 0x7FFFFFFF)
         nprng = np.random.default_rng(rng.randint(0, 2**31 - 1))
 
         img = Image.open(path).convert("RGB")

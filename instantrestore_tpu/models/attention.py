@@ -42,12 +42,63 @@ from instantrestore_tpu.ops.primitives import dense
 # _qkv_project docstring for the numbers); kept for re-evaluation on other
 # chip generations / batch shapes.
 _MERGED_QKV = os.environ.get("INSTANTRESTORE_MERGED_QKV", "0") == "1"
+# Head-split projections: emit q/k/v straight into [B, h, S, d] via a
+# multi-dim-contraction einsum instead of dense() + transpose (see
+# _dense_to_heads). OPT-IN: measured NEUTRAL end to end round 5 —
+# 35.84 vs 35.79 faces/sec at batch-16/512px serving (two full bench runs,
+# ~0.1% = run noise), i.e. XLA was already hiding the split transposes the
+# round-4 profile attributed ~4 ms to (they sat in the 'copy' bucket but
+# overlap with the surrounding dots). Kept opt-in for re-evaluation on
+# other chip generations; numerics match to fp-reassociation tolerance.
+_HEADS_PROJ = os.environ.get("INSTANTRESTORE_HEADS_PROJ")
+
+
+def _heads_proj_on() -> bool:
+    return _HEADS_PROJ == "1"
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     """[B, S, h*d] -> [B, h, S, d]"""
     b, s, inner = x.shape
     return x.reshape(b, s, heads, inner // heads).transpose(0, 2, 1, 3)
+
+
+def _dense_to_heads(
+    p: dict, x: jnp.ndarray, heads: int, *, lora_scaling: float
+) -> jnp.ndarray:
+    """Projection emitting DIRECTLY into head-split [B, h, S, d] layout.
+
+    Equivalent to ``_split_heads(dense(p, x), heads)`` up to fp
+    reassociation — each output element is the same contraction over the
+    same input channels; the h-major output layout may change the backend's
+    accumulation vectorization (last-ulp diffs measured on CPU;
+    tests/test_attention.py::test_heads_projection_bit_exact) — and the
+    h-major/d-minor split rides
+    the dot's OUTPUT indexing instead of a materialized [B, S, h, d] ->
+    [B, h, S, d] transpose. Round-4 profiling attributed ~4 ms/iter of the
+    UNet's 5.1 ms copy bucket to these head split/merge transposes around
+    the attention kernels (ROADMAP matrix; VERDICT r4 ask 3b); the merge
+    side was already removed by _to_out_from_heads — this is the split side.
+    Mosaic index-map consumption of a [B, S, h, d] layout is not an option:
+    that puts (h, d) in the trailing block dims and d=64 sublane/lane tiles
+    with a 1-wide head block violate the (8, 128) tiling rule.
+    """
+    b, s, cin = x.shape
+    dtype = x.dtype
+    w = p["kernel"].astype(dtype)
+    o = w.shape[1]
+    d = o // heads
+    y = jnp.einsum("bsc,chd->bhsd", x, w.reshape(cin, heads, d))
+    if "lora_A" in p:
+        a = p["lora_A"].astype(dtype)
+        r = a.shape[1]
+        yb = jnp.einsum(
+            "bsr,rhd->bhsd", x @ a, p["lora_B"].astype(dtype).reshape(r, heads, d)
+        )
+        y = y + yb * jnp.asarray(lora_scaling, dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype).reshape(heads, 1, d)
+    return y
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
@@ -288,23 +339,32 @@ def attention(
     aux = {}
     ctx = hidden if encoder_hidden is None else encoder_hidden
 
+    heads_direct = _heads_proj_on() and not _MERGED_QKV
     if use_faceid and encoder_hidden is not None:
         # FaceIDAttnProcessor (attn_processors.py:100-180): replace the text
         # K/V with projections of ArcFace embeddings — face_projection
         # (512 -> cross_dim) then bias-free to_k/to_v_face_embed.
-        q = dense(p["to_q"], hidden, lora_scaling=lora_scaling)
         ctx = dense(p["face_projection"], ctx)
-        k_raw = dense(p["to_k_face_embed"], ctx)
-        v_raw = dense(p["to_v_face_embed"], ctx)
+        if heads_direct:
+            q = _dense_to_heads(p["to_q"], hidden, heads, lora_scaling=lora_scaling)
+            k = _dense_to_heads(p["to_k_face_embed"], ctx, heads, lora_scaling=1.0)
+            v = _dense_to_heads(p["to_v_face_embed"], ctx, heads, lora_scaling=1.0)
+        else:
+            q = _split_heads(dense(p["to_q"], hidden, lora_scaling=lora_scaling), heads)
+            k = _split_heads(dense(p["to_k_face_embed"], ctx), heads)
+            v = _split_heads(dense(p["to_v_face_embed"], ctx), heads)
+    elif heads_direct:
+        q = _dense_to_heads(p["to_q"], hidden, heads, lora_scaling=lora_scaling)
+        k = _dense_to_heads(p["to_k"], ctx, heads, lora_scaling=lora_scaling)
+        v = _dense_to_heads(p["to_v"], ctx, heads, lora_scaling=lora_scaling)
     else:
         q, k_raw, v_raw = _qkv_project(
             p, hidden, ctx, self_attn=encoder_hidden is None,
             lora_scaling=lora_scaling,
         )
-
-    q = _split_heads(q, heads)
-    k = _split_heads(k_raw, heads)
-    v = _split_heads(v_raw, heads)
+        q = _split_heads(q, heads)
+        k = _split_heads(k_raw, heads)
+        v = _split_heads(v_raw, heads)
 
     if capture_kv:
         # Head-split layout [B, H, S, d]: free here (already computed for the

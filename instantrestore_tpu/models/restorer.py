@@ -45,6 +45,7 @@ from instantrestore_tpu.models.unet import UNetConfig, init_unet_params, unet_ap
 from instantrestore_tpu.models.vae import (
     VAEConfig,
     init_vae_params,
+    is_key_batch,
     sample_latent,
     vae_decode,
     vae_encode,
@@ -53,6 +54,35 @@ from instantrestore_tpu.models.vae import (
 NOISE_TIMESTEPS = (249, 499, 749)  # pix2pix_turbo.py:107
 COND_TIMESTEP = 1  # conditioning branch noise level (:247)
 PROMPT = "A high-quality photo of a person; professional, 8k"
+
+
+def _split_rng(rng: jax.Array, n: int):
+    """jax.random.split that also accepts a [B]-batch of per-sample keys
+    (``is_key_batch``), returning n key-batches of the same [B] shape.
+
+    Per-sample key batches exist for mesh-size-invariant serving
+    (inference/serving.py): every sample's noise is a function of its OWN
+    key, so sharding the batch over a mesh cannot change the draw."""
+    if is_key_batch(rng):
+        ks = jax.vmap(lambda k: jax.random.split(k, n))(rng)  # [B, n, ...]
+        return tuple(ks[:, i] for i in range(n))
+    return tuple(jax.random.split(rng, n))
+
+
+def _batched_normal(rng: jax.Array, shape, dtype) -> jnp.ndarray:
+    """jax.random.normal that also accepts a [B]-key batch: sample i's slice
+    ``out[i*m:(i+1)*m]`` (m = shape[0] // B) is drawn from key i alone, so
+    the draw is independent of batch size/placement (mesh-size-invariant
+    serving). With a single key, identical to jax.random.normal."""
+    if is_key_batch(rng):
+        b = rng.shape[0]
+        assert shape[0] % b == 0, (shape, b)
+        m = shape[0] // b
+        per = jax.vmap(
+            lambda k: jax.random.normal(k, (m, *shape[1:]), dtype)
+        )(rng)
+        return per.reshape(shape)
+    return jax.random.normal(rng, shape, dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,7 +235,14 @@ def get_conditioning_kv(
     conditioning noise."""
     b, n = cond_images.shape[:2]
     flat = cond_images.reshape(b * n, *cond_images.shape[2:])
-    r_lat, r_noise = jax.random.split(rng)
+    if is_key_batch(rng):
+        # [B] per-sample keys -> one key per (sample, ref) row of `flat`:
+        # sample i's conditioning noise depends only on key i, never on the
+        # batch's size or mesh placement (serving determinism). Legacy
+        # uint32 keys carry a trailing [2] dim; typed keys are scalar.
+        ks = jax.vmap(lambda k: jax.random.split(k, n))(rng)  # [B, n, ...]
+        rng = ks.reshape((b * n,) + ks.shape[2:])
+    r_lat, r_noise = _split_rng(rng, 2)
 
     ovae = original_vae_view(params)
     ounet = original_unet_view(params)
@@ -221,7 +258,7 @@ def get_conditioning_kv(
     )
     z = sample_latent(mean, logvar, r_lat if sample_posterior else None) * sf
     t1 = jnp.full((b * n,), COND_TIMESTEP, jnp.int32)
-    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    noise = _batched_normal(r_noise, z.shape, z.dtype)
     zt = sched.add_noise(alphas_cumprod, z, noise, t1)
 
     caption = jnp.tile(params["caption_enc"], (b * n, 1, 1))
@@ -287,7 +324,12 @@ def restore_forward(
         to N; padding rows are masked via valid_indices).
       valid_indices: [B] int count of valid references per sample.
       rng: PRNG key driving latent sampling + forward-diffusion noise (+
-        train-time timestep choice). Required.
+        train-time timestep choice). Required. May be a [B]-batch of
+        per-sample keys (one per input image): then every sample's noise is
+        a function of its own key alone — batch-size- and mesh-placement-
+        invariant (serving determinism; inference/serving.py derives the
+        batch from global row indices). With a key batch and timestep=None,
+        the (batch-shared) timestep draw uses sample 0's key.
       timestep: fixed noise timestep (249 at inference); None samples
         uniformly from statics.noise_timesteps (training,
         pix2pix_turbo.py:306).
@@ -302,7 +344,7 @@ def restore_forward(
     b = image.shape[0]
     abar = sched.make_alphas_cumprod()
     sf = statics.vae_cfg.scaling_factor
-    r_cond, r_lat, r_noise, r_t = jax.random.split(rng, 4)
+    r_cond, r_lat, r_noise, r_t = _split_rng(rng, 4)
     ckpt = jax.checkpoint if remat else (lambda f: f)
 
     # 1. encode the degraded input with the trainable VAE
@@ -348,12 +390,14 @@ def restore_forward(
 
     # 3. forward-diffuse the input latent
     if timestep is None:
-        idx = jax.random.randint(r_t, (), 0, len(statics.noise_timesteps))
+        # one t per batch, as the reference (pix2pix_turbo.py:306)
+        r_t1 = r_t[0] if is_key_batch(r_t) else r_t
+        idx = jax.random.randint(r_t1, (), 0, len(statics.noise_timesteps))
         t = jnp.asarray(statics.noise_timesteps, jnp.int32)[idx]
     else:
         t = jnp.asarray(timestep, jnp.int32)
     tb = jnp.broadcast_to(t, (b,))
-    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    noise = _batched_normal(r_noise, z.shape, z.dtype)
     zt = sched.add_noise(abar, z, noise, tb)
 
     # 4. restoration UNet with shared-image attention; FaceID conditioning

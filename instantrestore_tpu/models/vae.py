@@ -242,17 +242,43 @@ def vae_encode(
     return mean, logvar, acts
 
 
+def is_key_batch(rng) -> bool:
+    """True when ``rng`` is a [B]-batch of per-sample PRNG keys rather than a
+    single key: legacy uint32 keys are [2] (single) vs [B, 2] (batch); typed
+    keys are scalar (single) vs [B] (batch).
+
+    Per-sample keys exist for mesh-size-invariant serving: a data-parallel
+    shard derives each sample's key from its GLOBAL batch row
+    (inference/serving.py), so the same (inputs, seed) produce bit-equal
+    noise on 1 chip and on any mesh."""
+    if rng is None:
+        return False
+    try:
+        if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            return rng.ndim == 1
+    except (AttributeError, TypeError):
+        pass
+    return getattr(rng, "ndim", 0) == 2
+
+
 def sample_latent(mean: jnp.ndarray, logvar: jnp.ndarray, rng: Optional[jax.Array]) -> jnp.ndarray:
     """DiagonalGaussianDistribution.sample(); rng=None -> mode() (the mean).
 
     The reference samples at both train and inference time
     (pix2pix_turbo.py:245,291); deterministic mode is provided for parity
-    testing and reproducible serving.
-    """
+    testing and reproducible serving. ``rng`` may be a [B]-batch of keys
+    (``is_key_batch``): sample i's noise then depends only on key i, not on
+    the batch's size or layout."""
     if rng is None:
         return mean
     std = jnp.exp(0.5 * logvar)
-    return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+    if is_key_batch(rng):
+        noise = jax.vmap(lambda k, m: jax.random.normal(k, m.shape, m.dtype))(
+            rng, mean
+        )
+    else:
+        noise = jax.random.normal(rng, mean.shape, mean.dtype)
+    return mean + std * noise
 
 
 @jax.named_scope("vae_decode")

@@ -37,9 +37,23 @@ _CONV_IM2COL = os.environ.get("INSTANTRESTORE_CONV_IM2COL", "0") == "1"
 # slower), "2" 4 phase convs + pairwise stack-reshape interleave (no big
 # transpose), "3" ONE lhs-dilated 4x4 conv (zero-insertion upsample folded
 # into the kernel; XLA writes the 2x output directly — no interleave at all)
-_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP", "3")
+_SUBPIXEL_UP = os.environ.get("INSTANTRESTORE_SUBPIXEL_UP")  # None => per-backend
 _CONV_S2D = os.environ.get("INSTANTRESTORE_CONV_S2D", "0") == "1"
 _CONV_TAPMM = os.environ.get("INSTANTRESTORE_CONV_TAPMM", "0") == "1"
+
+
+def _subpixel_mode() -> str:
+    """Resolved subpixel-upsample mode: an explicit INSTANTRESTORE_SUBPIXEL_UP
+    (or monkeypatched ``_SUBPIXEL_UP``) wins; otherwise "3" (one lhs-dilated
+    conv) on TPU/GPU and "0" (materialized nearest-2x) on CPU. Mode 3's win
+    is an MXU-roofline argument (2.25x fewer MACs on a roofline-bound conv)
+    that does not apply to the CPU backend — and its lhs-dilated-conv grads
+    were one of the two graph changes that pushed the virtual-8-device CPU
+    dryrun's full-recipe compile past the driver budget in round 4, so CPU
+    graphs keep the cheap materialized path unless explicitly overridden."""
+    if _SUBPIXEL_UP is not None:
+        return _SUBPIXEL_UP
+    return "3" if jax.default_backend() in ("tpu", "gpu") else "0"
 
 # int8 calibration side-channel: while a `with_int8_records`-wrapped forward
 # is being TRACED, conv2d's dynamic-int8 branch appends (calib_slot, observed
@@ -348,7 +362,7 @@ def quantize_block_convs_int8(bp: dict) -> dict:
             # upsampler convs only ever run through upsample2x_conv: fold the
             # subpixel 4x4 kernel before quantizing when mode 3 is active so
             # the int8 engine skips the materialized 2x grid too.
-            fold = samplers == "upsamplers" and _SUBPIXEL_UP == "3"
+            fold = samplers == "upsamplers" and _subpixel_mode() == "3"
             nb[samplers] = [
                 {**s, "conv": quantize_conv_int8(s["conv"], fold_upsample=fold)}
                 for s in nb[samplers]
@@ -554,7 +568,8 @@ def upsample2x_conv(
       copies (~6.5 + 3.3 ms per upsampler) eat the MAC savings. Net worse.
     - "2" (round 4): pairwise stack-reshape interleave — 31.1 faces/sec,
       still copy-bound.
-    - "3" (round 4, DEFAULT): one lhs-dilated conv, no interleave at all.
+    - "3" (round 4, DEFAULT on TPU/GPU — round 5 gates CPU back to "0",
+      see _subpixel_mode): one lhs-dilated conv, no interleave at all.
       nearest-2x is ones2x2 (*) zero-dilated x, so
       conv3x3(up2x(x)) == conv4x4'(dilate2(x)) with
       K4[u,v] = sum_{a,b in {0,1}} W[u-1+a, v-1+b]; XLA writes the 2x grid
@@ -585,12 +600,13 @@ def upsample2x_conv(
                 y = y + p["bias"].astype(dtype)
             return y
         return conv2d(p, nearest_upsample_2x(x), lora_scaling=lora_scaling)
-    if _SUBPIXEL_UP == "0" or "lora_A" in p or p["kernel"].shape[0] != 3:
+    mode = _subpixel_mode()
+    if mode == "0" or "lora_A" in p or p["kernel"].shape[0] != 3:
         return conv2d(p, nearest_upsample_2x(x), lora_scaling=lora_scaling)
     dtype = x.dtype
     bsz, hh, ww, cin = x.shape
     w = p["kernel"].astype(jnp.float32)  # [3, 3, cin, cout]
-    if _SUBPIXEL_UP == "3":
+    if mode == "3":
         # zero-insertion (lhs_dilation=2) + 4x4 kernel = nearest-2x + 3x3
         # conv, exactly: nearest duplication is ones2x2 (*) zero-dilated x,
         # and conv3x3(ones2x2 (*) xd) == conv4x4'(xd) with
@@ -632,7 +648,7 @@ def upsample2x_conv(
             )
             phases.append(y)
     cout = phases[0].shape[-1]
-    if _SUBPIXEL_UP == "2":
+    if mode == "2":
         # pairwise interleave: stack on a fresh minor-adjacent axis then a
         # CONTIGUOUS reshape (free) — two concat-shaped copies instead of
         # the 6-D transpose depth-to-space that ate mode 1's MAC savings

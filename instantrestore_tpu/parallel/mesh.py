@@ -97,6 +97,16 @@ def init_distributed(
         pass
     kwargs: dict = {}
     if coordinator_address is not None:
+        # explicit-topology CPU clusters need a cross-process collectives
+        # backend; gloo is XLA:CPU's supported one. Must be set before the
+        # first backend client exists — which is guaranteed here, since
+        # initialize() itself must run pre-backend. TPU pods (no explicit
+        # coordinator) use the ICI/DCN runtime and are untouched.
+        if (jax.config.jax_platforms or "") == "cpu":
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
         kwargs["coordinator_address"] = coordinator_address
     if num_processes is not None:
         kwargs["num_processes"] = num_processes

@@ -23,6 +23,30 @@ import orbax.checkpoint as ocp
 from instantrestore_tpu.configs.config import encode_config
 
 
+def _local_checkpointer() -> ocp.StandardCheckpointer:
+    """StandardCheckpointer whose barriers are scoped to THIS process.
+
+    Coach saves are primary-only (params replicated — the accelerate
+    main-process-only semantic, coach.py::save), and the payloads are
+    device_get numpy trees, so no cross-process coordination is needed. But
+    orbax defaults to GLOBAL sync barriers whenever jax.process_count() > 1 —
+    a primary-only save then deadlocks waiting for processes that never call
+    save (observed live: the 2-process integration test's worker 0 hung in
+    the final-checkpoint save after worker 1 exited). Scoping
+    active_processes to the caller makes save/load purely local from any
+    process."""
+    pid = jax.process_index()
+    if jax.process_count() <= 1:
+        return ocp.StandardCheckpointer()
+    return ocp.StandardCheckpointer(
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=pid,
+            active_processes={pid},
+            barrier_sync_key_prefix=f"proc{pid}",
+        )
+    )
+
+
 def save_checkpoint(
     path,
     payload: Dict[str, Any],
@@ -32,7 +56,7 @@ def save_checkpoint(
 ):
     path = Path(path).absolute()
     path.mkdir(parents=True, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _local_checkpointer()
     ckptr.save(path / "state", payload, force=True)
     ckptr.wait_until_finished()
     meta = {"step": step}
@@ -45,7 +69,7 @@ def save_checkpoint(
 
 def load_checkpoint(path, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     path = Path(path).absolute()
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _local_checkpointer()
     state = ckptr.restore(path / "state", template)
     meta = {}
     meta_file = path / "meta.json"

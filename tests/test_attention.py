@@ -222,3 +222,71 @@ def test_merged_qkv_projection_bit_exact(rng, monkeypatch):
     fused_x, _ = attention(p2, h, heads=heads, encoder_hidden=ctx)
     sep_x, _ = attention(with_zero_lora(p2), h, heads=heads, encoder_hidden=ctx)
     np.testing.assert_array_equal(np.asarray(fused_x), np.asarray(sep_x))
+
+
+def test_heads_projection_bit_exact(rng, monkeypatch):
+    """_dense_to_heads (projection emitting directly into [B, h, S, d])
+    matches _split_heads(dense(...)) to fp-reassociation tolerance: each
+    output element is the same contraction over the same channels, but the
+    h-major output layout changes the backend's accumulation vectorization
+    (measured last-ulp diffs on CPU). Covers plain kernels, LoRA'd kernels
+    (factored delta), bias, and the faceid K/V projections, plus the full
+    attention() output (VERDICT r4 ask 3b — split-side transpose
+    elimination; measured perf-neutral on TPU, hence opt-in)."""
+    import instantrestore_tpu.models.attention as attn_mod
+    from instantrestore_tpu.models.attention import _dense_to_heads
+    from instantrestore_tpu.ops.primitives import dense
+
+    b, s, c, heads = 2, 16, 64, 4
+    x = jnp.asarray(_mk(rng, b, s, c))
+
+    # plain / bias / LoRA param variants
+    variants = [
+        {"kernel": jnp.asarray(_mk(rng, c, c))},
+        {"kernel": jnp.asarray(_mk(rng, c, c)), "bias": jnp.asarray(_mk(rng, c))},
+        {
+            "kernel": jnp.asarray(_mk(rng, c, c)),
+            "lora_A": jnp.asarray(_mk(rng, c, 4)),
+            "lora_B": jnp.asarray(_mk(rng, 4, c)),
+        },
+    ]
+    for p in variants:
+        want = _split_heads(dense(p, x, lora_scaling=0.5), heads)
+        got = _dense_to_heads(p, x, heads, lora_scaling=0.5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5
+        )
+
+    # end-to-end attention(): heads-direct path vs dense()+transpose path
+    p = _params(rng, c)
+    p["to_q"]["lora_A"] = jnp.asarray(_mk(rng, c, 4))
+    p["to_q"]["lora_B"] = jnp.asarray(_mk(rng, 4, c))
+    monkeypatch.setattr(attn_mod, "_HEADS_PROJ", "1")
+    on, _ = attention(p, x, heads=heads, lora_scaling=0.5)
+    monkeypatch.setattr(attn_mod, "_HEADS_PROJ", "0")
+    off, _ = attention(p, x, heads=heads, lora_scaling=0.5)
+    # random UNNORMALIZED kernels give |logits| ~30: the near-one-hot
+    # softmax amplifies the projections' last-ulp reassociation diffs
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(off), rtol=1e-3, atol=1e-2
+    )
+
+    # faceid branch: ctx-projected K/V through _dense_to_heads
+    ctx = jnp.asarray(_mk(rng, b, 1, 512))
+    pf = dict(
+        _params(rng, c),
+        face_projection={
+            "kernel": jnp.asarray(_mk(rng, 512, 48)),
+            "bias": jnp.asarray(_mk(rng, 48)),
+        },
+        to_k_face_embed={"kernel": jnp.asarray(_mk(rng, 48, c))},
+        to_v_face_embed={"kernel": jnp.asarray(_mk(rng, 48, c))},
+    )
+    pf["to_q"] = {"kernel": jnp.asarray(_mk(rng, c, c))}
+    monkeypatch.setattr(attn_mod, "_HEADS_PROJ", "1")
+    on_f, _ = attention(pf, x, heads=heads, encoder_hidden=ctx, use_faceid=True)
+    monkeypatch.setattr(attn_mod, "_HEADS_PROJ", "0")
+    off_f, _ = attention(pf, x, heads=heads, encoder_hidden=ctx, use_faceid=True)
+    np.testing.assert_allclose(
+        np.asarray(on_f), np.asarray(off_f), rtol=1e-3, atol=1e-2
+    )

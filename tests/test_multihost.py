@@ -3,10 +3,12 @@ global-array assembly, jax.distributed bootstrap, and process-0-only
 logging/checkpointing (VERDICT r3 item 3 — accelerate-launch multi-node
 parity, /root/reference/setup.sh:4, coach.py:52-61).
 
-A real multi-process run needs N hosts; these tests exercise every branch
-single-process: the loader slicing math is pure host code, the
-make_array_from_process_local_data path is exact at process_count=1, and the
-Coach branching is driven by faking jax.process_index/process_count."""
+Most tests exercise the branches single-process: the loader slicing math is
+pure host code, the make_array_from_process_local_data path is exact at
+process_count=1, and the Coach branching is driven by faking
+jax.process_index/process_count. test_two_process_training_matches_single_
+process (slow tier) then runs the REAL machinery: subprocess-spawned workers
+joining a localhost jax.distributed coordinator (gloo CPU collectives)."""
 
 import dataclasses
 
@@ -239,6 +241,135 @@ def test_coach_primary_process_keeps_artifacts(tmp_path, data_root, monkeypatch)
     assert (cfg.log.exp_dir / "logs").exists()
     coach.save("p0")
     assert len(written) == 1 and written[0].name == "p0"
+
+
+# ---------------------------------------------------------------------------
+# REAL 2-process cluster (VERDICT r4 ask 2): subprocess-spawned workers join a
+# localhost jax.distributed coordinator (gloo CPU collectives), each feeding
+# its slice of the global batch — the actual coordinator +
+# make_array_from_process_local_data machinery, not monkeypatched branching.
+# ---------------------------------------------------------------------------
+
+
+def _spawn_worker(wcfg, env):
+    import subprocess
+    import sys as _sys
+    import json as _json
+    from pathlib import Path
+
+    cfg_path = Path(wcfg["exp_root"]) / f"worker_{wcfg['process_id']}.json"
+    cfg_path.parent.mkdir(parents=True, exist_ok=True)
+    cfg_path.write_text(_json.dumps(wcfg))
+    worker = Path(__file__).parent / "multihost_worker.py"
+    return subprocess.Popen(
+        [_sys.executable, str(worker), str(cfg_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+    )
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    """Two REAL processes (2 forced host devices each) train the same global
+    4-batch for 2 steps as one 4-device process: per-step global losses and
+    final parameters must agree, only each topology's process 0 writes
+    artifacts, and a 2 s startup skew on process 1 must not break the run
+    (the coordinator waits; collectives block until the straggler joins)."""
+    import os
+    import socket
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    # deterministic data both topologies read
+    root = tmp_path / "data"
+    img_rng = np.random.default_rng(0)
+    for ident in ["a", "b"]:
+        d = root / ident / "cropped_images"
+        d.mkdir(parents=True)
+        for i in range(8):
+            Image.fromarray(
+                img_rng.integers(0, 255, (96, 96, 3), np.uint8)
+            ).save(d / f"{i}.png")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device counts
+    env["PYTHONPATH"] = "/root/repo"
+    cache = str(tmp_path / "jaxcache")
+
+    def wcfg(pid, nproc, tag, skew=0.0):
+        return {
+            "process_id": pid,
+            "num_processes": nproc,
+            # 4 global devices (2 local per cluster process): halves the
+            # per-step compute vs 8 — the first run of this test measured
+            # ~300 s/step with two contending processes on the 1-CPU CI box
+            # and blew its worker timeout
+            "global_devices": 4,
+            "port": port,
+            "data_root": str(root),
+            "val_root": str(root),  # no test-layout identities -> no-op val
+            "exp_root": str(tmp_path / tag / f"p{pid}"),
+            "out_npz": str(tmp_path / f"{tag}_p{pid}.npz"),
+            "cache_dir": cache,
+            "skew_s": skew,
+        }
+
+    # single-process 4-device reference run
+    ref = _spawn_worker(wcfg(0, 1, "one"), env)
+    out, _ = ref.communicate(timeout=1500)
+    assert ref.returncode == 0, out.decode()[-4000:]
+
+    # the 2-process cluster, process 1 deliberately 2 s late
+    w0 = _spawn_worker(wcfg(0, 2, "two"), env)
+    w1 = _spawn_worker(wcfg(1, 2, "two", skew=2.0), env)
+    try:
+        out0, _ = w0.communicate(timeout=1800)
+        out1, _ = w1.communicate(timeout=1800)
+    finally:
+        for w in (w0, w1):  # never leave orphan workers on a failure
+            if w.poll() is None:
+                w.kill()
+    assert w0.returncode == 0, out0.decode()[-4000:]
+    assert w1.returncode == 0, out1.decode()[-4000:]
+
+    meta_1p = json.loads((tmp_path / "one_p0.npz.json").read_text())
+    meta_p0 = json.loads((tmp_path / "two_p0.npz.json").read_text())
+    meta_p1 = json.loads((tmp_path / "two_p1.npz.json").read_text())
+    assert meta_p0["global_devices"] == meta_p1["global_devices"] == 4
+    assert meta_p0["local_devices"] == 2
+
+    # both cluster processes observe the SAME post-all-reduce global metrics
+    assert meta_p0["losses"] == meta_p1["losses"]
+    # and they match the single-process topology step for step (identical
+    # global batches via process-sliced loading + stable per-item seeds)
+    assert len(meta_1p["losses"]) == 2
+    for a, b in zip(meta_1p["losses"], meta_p0["losses"]):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, err_msg=k)
+
+    # final parameters agree across topologies (tolerance covers gloo's
+    # cross-process reduction-order difference in fp32 grad all-reduce)
+    ref_params = np.load(tmp_path / "one_p0.npz")
+    p0_params = np.load(tmp_path / "two_p0.npz")
+    assert set(ref_params.files) == set(p0_params.files)
+    for k in ref_params.files:
+        np.testing.assert_allclose(
+            ref_params[k], p0_params[k], rtol=0, atol=5e-6, err_msg=k
+        )
+
+    # host-side artifacts: each topology's process 0 wrote, process 1 didn't
+    p0_exp = tmp_path / "two" / "p0" / "mh2p"
+    p1_exp = tmp_path / "two" / "p1" / "mh2p"
+    assert (p0_exp / "config.yaml").exists()
+    assert (p0_exp / "checkpoints" / "final" / "meta.json").exists()
+    assert not (p1_exp / "config.yaml").exists()
+    assert not (p1_exp / "checkpoints").exists()
 
 
 def test_coach_multihost_indivisible_batch_raises(tmp_path, data_root, monkeypatch):
