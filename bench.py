@@ -202,11 +202,19 @@ def main():
             )
             extras["int8_vs_fp_ms_ssim"] = round(ssim, 4)
             # refuse the int8 throughput claim when quality regresses past
-            # documented bounds — a fast-but-wrong engine must not headline
-            if psnr < 30.0 or ssim < 0.98:
+            # documented bounds — a fast-but-wrong engine must not headline.
+            # maxabs bound (VERDICT r4 weak 4): measured 0.35-0.40 across
+            # rounds 4-5 on synthetic weights; scripts/int8_bisect.py
+            # localizes the tail per quantization group. 0.5 (12.5% of the
+            # [-1,1] peak-to-peak) flags any regression beyond the
+            # characterized worst case while tolerating its run-to-run
+            # spread; re-derive against ArcFace ID-cosine at first contact
+            # with real weights.
+            if psnr < 30.0 or ssim < 0.98 or maxabs > 0.5:
                 extras["int8_rejected"] = (
                     f"quality gate failed (psnr {psnr:.1f} < 30 dB or "
-                    f"ms-ssim {ssim:.4f} < 0.98) — throughput withheld"
+                    f"ms-ssim {ssim:.4f} < 0.98 or maxabs {maxabs:.3f} > "
+                    "0.5) — throughput withheld"
                 )
                 extras.pop("int8_static_faces_per_sec", None)
                 extras.pop("int8_static_batch_latency_ms", None)

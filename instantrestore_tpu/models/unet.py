@@ -277,6 +277,16 @@ def _transformer(
     b, hgt, wdt, c = x.shape
     residual = x
     h = group_norm(p["norm"], x, num_groups=cfg.norm_num_groups, eps=cfg.transformer_norm_eps)
+    # NOTE (round-5 measured dead end): these five 64^2 proj_in dots profile
+    # at 1569 us / 4.3% MXU each (sequence-in-lanes conv-emitter layout;
+    # same-shape siblings run 122 us), but eliminating them does NOT move
+    # end-to-end time. Three A/Bs, ~0.1% run noise each: flatten every
+    # dense to 2-D (35.49 — net regression), flatten proj_in only (35.70 —
+    # XLA's simplifier reconstitutes the 3-D dot, verified by re-profile),
+    # flatten + optimization_barriers (35.74 — 2-D dot forced, still
+    # neutral) vs 35.79 baseline. The serving graph is roofline-bound
+    # elsewhere; the 'slow' dots overlap work the schedule would otherwise
+    # expose. Keeping the simple 3-D form.
     h = h.reshape(b, hgt * wdt, c)
     h = dense(p["proj_in"], h, lora_scaling=lora_scaling)
 

@@ -67,12 +67,37 @@ _INT8_CALIB_RECORDS = None
 # ---------------------------------------------------------------------------
 
 
+# Flatten batched dense() inputs to ONE 2-D matmul. XLA:TPU formulates a
+# 3-D [B, S, C] x [C, O] dot as a `0bf_io0->0bf` CONVOLUTION, and on the 64^2
+# transformer blocks layout assignment then picks the sequence-in-lanes
+# {1, 2, 0} layout + the EmitAllBatchInSublanes-family conv emitter: the five
+# proj_in instances profiled at 1569 us / 4.3% MXU each (~7.8 ms/iter of pure
+# pathology) while same-shape siblings with friendly layouts run 122 us
+# (round-5 scripts/profile_bench.py + compiled-HLO inspection). A 2-D
+# [B*S, C] x [C, O] dot cannot take the conv emitter; the reshape is a
+# bitcast for standard-layout inputs and forces at worst one relayout copy
+# (~0.2 ms at this size) where layout assignment would otherwise have
+# propagated the poisoned layout into the dot. OPT-IN (off by default):
+# applying it to EVERY dense measured a net regression — 35.49 vs 35.79
+# faces/sec at batch-16/512px — because the healthy 3-D dots (ff
+# projections at 85-95% MXU) pick up relayout copies; the win is scoped to
+# the pathological call sites instead (models/unet.py proj_in).
+_DENSE_2D = os.environ.get("INSTANTRESTORE_DENSE_2D")
+
+
+def _dense_2d_on() -> bool:
+    return _DENSE_2D == "1"
+
+
 def dense(p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0) -> jnp.ndarray:
     """y = x @ kernel + bias, with optional factored LoRA delta.
 
     kernel: [in, out]; lora_A: [in, r]; lora_B: [r, out].
     """
     dtype = x.dtype
+    lead = x.shape[:-1]
+    if x.ndim > 2 and _dense_2d_on():
+        x = x.reshape(-1, x.shape[-1])  # see _DENSE_2D note above
     y = x @ p["kernel"].astype(dtype)
     if "lora_A" in p:
         y = y + (x @ p["lora_A"].astype(dtype) @ p["lora_B"].astype(dtype)) * jnp.asarray(
@@ -80,6 +105,8 @@ def dense(p: dict, x: jnp.ndarray, *, lora_scaling: float = 1.0) -> jnp.ndarray:
         )
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
+    if y.ndim == 2 and len(lead) > 1:
+        y = y.reshape(*lead, y.shape[-1])
     return y
 
 

@@ -61,9 +61,15 @@ def main():
     out.block_until_ready()
 
     # compiled HLO: maps the trace's anonymous fusion.N names to op_name
-    # metadata (model path) for readable attribution
+    # metadata (model path) for readable attribution. Lower with the SAME
+    # per-sample key batch restore() passes (serving._per_sample_keys) so
+    # this is the executed program, not a single-key sibling with
+    # different fusion numbering.
+    from instantrestore_tpu.inference.serving import _per_sample_keys
+
+    keys = _per_sample_keys(jax.random.PRNGKey(3), batch)
     hlo = (
-        eng._restore.lower(params, images, eng.kv_cache, ids, jax.random.PRNGKey(3))
+        eng._restore.lower(params, images, eng.kv_cache, ids, keys)
         .compile()
         .as_text()
     )

@@ -95,6 +95,7 @@ def env(tmp_path_factory):
     return models, str(tok), str(root)
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_demo_run_and_model_switch(env):
     models, tok, root = env
     demo = Demo(

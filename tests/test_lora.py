@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from instantrestore_tpu.models.lora import (
     UNET_LORA_TARGETS,
@@ -22,6 +23,7 @@ TINY = UNetConfig(
 )
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_attach_lora_targets_unet():
     params = init_unet_params(jax.random.PRNGKey(0), TINY)
     lp = attach_lora(params, jax.random.PRNGKey(1), 4, UNET_LORA_TARGETS)

@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from instantrestore_tpu.data import mtcnn
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_net_shapes():
     p = mtcnn.init_mtcnn_params(jax.random.PRNGKey(0))
     # PNet fully convolutional: 12x12 -> 1x1 map

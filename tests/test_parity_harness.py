@@ -50,6 +50,7 @@ def tiny_predictor():
     )
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_gradio_report_on_real_fixtures(tiny_predictor, tmp_path):
     import sys
 
@@ -115,6 +116,7 @@ def test_strict_convert_check_passes_and_fails(tmp_path):
     assert any("conv_out" in m for m in missing["missing_template_leaves"])
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_debug_taps_stage_dump(tiny_predictor):
     """restore_forward(debug_taps=True): per-stage activations for the
     golden-diff tooling — every expected stage present and finite."""
@@ -141,6 +143,7 @@ def test_debug_taps_stage_dump(tiny_predictor):
         assert np.isfinite(np.asarray(taps[k], np.float32)).all(), k
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_deterministic_predictor_repeats_exactly(tiny_predictor):
     from PIL import Image
 

@@ -126,6 +126,7 @@ def test_to_nhwc():
     np.testing.assert_array_equal(pts.to_nhwc(b), b)
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_dump_activations_carries_cond_taps():
     """restore_forward(debug_taps=True) with conditioning images must emit the
     cond_latent/cond_latent_noised taps the torch side derives its cond noise

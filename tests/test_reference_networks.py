@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from instantrestore_tpu.models.lora import trainable_mask
@@ -34,6 +35,7 @@ STATICS = RestorerStatics(
 )
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_reference_lora_trains_and_base_frozen():
     params = init_restorer_params(
         jax.random.PRNGKey(0), STATICS, lora_rank_unet=4, lora_rank_vae=4

@@ -111,6 +111,7 @@ def env(tmp_path_factory):
     return str(ckpt), str(tok), str(root)
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_serve_cli_end_to_end(env, tmp_path):
     ckpt, tok, root = env
     out_dir = tmp_path / "results"

@@ -106,6 +106,7 @@ def test_freeu_changes_output(tiny_setup):
     assert not np.allclose(np.asarray(out_fu), np.asarray(out_nofu))
 
 
+@pytest.mark.slow  # >20 s on the 1-CPU CI box (measured round 5)
 def test_jit_and_grad(tiny_setup):
     params, x, ctx, t = tiny_setup
 
