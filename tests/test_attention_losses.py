@@ -205,6 +205,7 @@ def test_crop_with_boxes_matches_slices():
         np.testing.assert_array_equal(out[i], imgs[i, y:y + 8, x:x + 6])
 
 
+@pytest.mark.slow  # >17 s on the 1-CPU CI box (measured round 5)
 def test_degrade_with_params_selects_factor_and_differentiates():
     """degrade_with_params must (a) track the host chain's factor selection,
     (b) stay in [0,1], (c) be differentiable (cycle loss backprops through)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from instantrestore_tpu.models.unet import UNetConfig, init_unet_params
 from instantrestore_tpu.models.vae import VAEConfig, init_vae_params
@@ -30,6 +31,7 @@ def _trees_equal(a, b, path=""):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=path)
 
 
+@pytest.mark.slow  # >17 s on the 1-CPU CI box (measured round 5)
 def test_unet_tree_roundtrip():
     params = init_unet_params(jax.random.PRNGKey(0), TINY)
     sd = tc.tree_to_torch_state_dict(params)
@@ -43,6 +45,7 @@ def test_unet_tree_roundtrip():
     _trees_equal(params, back)
 
 
+@pytest.mark.slow  # >17 s on the 1-CPU CI box (measured round 5)
 def test_vae_tree_roundtrip():
     cfg = VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4)
     params = init_vae_params(jax.random.PRNGKey(0), cfg)
